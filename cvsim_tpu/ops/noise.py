@@ -1,0 +1,49 @@
+"""Noise generators.
+
+The reference uses unseeded libc rand() with a smoothed random-walk idiom
+(ffmpeg_to_composite.cpp:661-663):
+
+    use n; n += rand() % (2*mag + 1) - mag; n /= 2
+
+Exact rand() parity is meaningless (libc-specific); per SURVEY.md section 7 we
+target *statistical* parity: same increment distribution and the same
+first-order decay recurrence, driven by counter-based `jax.random` so output
+is deterministic per seed and independent of evaluation order.
+
+The recurrence n[t] = (n[t-1] + u[t]) / 2 is affine, so it runs as a parallel
+`lax.associative_scan` instead of a sequential loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cvsim_tpu.ops.iir import _affine_combine
+
+
+def random_walk(key, shape, mag: int, axis: int = -1, dtype=jnp.float32):
+    """Post-update walk values n[t] = (n[t-1] + u[t]) / 2, n[-1] = 0,
+    u ~ uniform int in [-mag, mag]."""
+    u = jax.random.randint(key, shape, -mag, mag + 1).astype(dtype)
+    a = jnp.full(shape, 0.5, dtype)
+    _, b_cum = jax.lax.associative_scan(_affine_combine, (a, 0.5 * u), axis=axis)
+    return b_cum
+
+
+def smoothed_noise_walk(key, shape, mag: int, axis: int = -1, dtype=jnp.float32):
+    """Pre-update walk values as *used* by the video-noise loops: the value
+    added at sample t is the walk state before the t'th update, i.e.
+    [0, n[0], n[1], ...]."""
+    post = random_walk(key, shape, mag, axis=axis, dtype=dtype)
+    w = post.shape[axis]
+    head = jnp.zeros_like(jax.lax.slice_in_dim(post, 0, 1, axis=axis))
+    return jnp.concatenate(
+        [head, jax.lax.slice_in_dim(post, 0, w - 1, axis=axis)], axis=axis
+    )
+
+
+def uniform_pm1(key, shape=(), dtype=jnp.float32):
+    """Uniform in [-1, 1) — used for head-switching phase jitter
+    (ffmpeg_to_composite.cpp:675-680)."""
+    return jax.random.uniform(key, shape, dtype, -1.0, 1.0)

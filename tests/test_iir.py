@@ -1,0 +1,74 @@
+"""Unit tests for the scan-based IIR primitives against sequential float64."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cvsim_tpu.config import iir_alpha, NTSC_RATE
+from cvsim_tpu.ops.iir import (
+    delay_writeback,
+    iir_highpass,
+    iir_lowpass,
+    iir_lowpass_cascade,
+)
+from golden.ref_scalar import Lowpass
+
+
+def seq_lowpass(x, rate, hz, reset):
+    f = Lowpass(rate, hz, reset)
+    return np.array([f.lowpass(float(s)) for s in x])
+
+
+def test_lowpass_matches_sequential():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, size=257)
+    alpha = iir_alpha(NTSC_RATE, 1300000.0)
+    got = np.asarray(iir_lowpass(jnp.asarray(x, jnp.float64), alpha, 128.0))
+    want = seq_lowpass(x, NTSC_RATE, 1300000.0, 128.0)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_lowpass_batched_axes():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-100, 100, size=(3, 5, 64))
+    alpha = iir_alpha(NTSC_RATE, 600000.0)
+    got = np.asarray(iir_lowpass(jnp.asarray(x, jnp.float64), alpha, 0.0))
+    for b in range(3):
+        for l in range(5):
+            want = seq_lowpass(x[b, l], NTSC_RATE, 600000.0, 0.0)
+            np.testing.assert_allclose(got[b, l], want, rtol=1e-9, atol=1e-9)
+
+
+def test_cascade_matches_sequential():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 255, size=128)
+    alpha = iir_alpha(NTSC_RATE, 2400000.0)
+    got = np.asarray(
+        iir_lowpass_cascade(jnp.asarray(x, jnp.float64), alpha, 16.0, 3))
+    fs = [Lowpass(NTSC_RATE, 2400000.0, 16.0) for _ in range(3)]
+    want = []
+    for s in x:
+        v = float(s)
+        for f in fs:
+            v = f.lowpass(v)
+        want.append(v)
+    np.testing.assert_allclose(got, np.array(want), rtol=1e-9, atol=1e-9)
+
+
+def test_highpass_identity():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 255, size=64), jnp.float64)
+    alpha = iir_alpha(NTSC_RATE, 1000000.0)
+    hp = iir_highpass(x, alpha, 16.0)
+    lp = iir_lowpass(x, alpha, 16.0)
+    np.testing.assert_allclose(np.asarray(hp + lp), np.asarray(x), rtol=1e-12)
+
+
+def test_delay_writeback():
+    orig = jnp.arange(10)
+    filt = jnp.arange(10) * 100
+    out = np.asarray(delay_writeback(orig, filt, 3))
+    # out[i] = filt[i+3] for i < 7; tail keeps original
+    np.testing.assert_array_equal(out[:7], np.arange(3, 10) * 100)
+    np.testing.assert_array_equal(out[7:], [7, 8, 9])
+    np.testing.assert_array_equal(
+        np.asarray(delay_writeback(orig, filt, 0)), np.asarray(filt))
