@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -32,9 +33,48 @@ from cvsim_tpu.ops.cmath import c_div, c_int
 from cvsim_tpu.ops.iir import delay_writeback, iir_highpass, iir_lowpass, iir_lowpass_cascade
 from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk, uniform_pm1
 from cvsim_tpu.ops.phase import scanline_phase_xi
+from cvsim_tpu.ops.roll import roll_rows, select_by_phase
 
-_UMULT = jnp.array([1, 0, -1, 0], jnp.int32)
-_VMULT = jnp.array([0, 1, 0, -1], jnp.int32)
+_UMULT_NP = np.array([1, 0, -1, 0], np.int32)
+_VMULT_NP = np.array([0, 1, 0, -1], np.int32)
+
+
+@functools.lru_cache(maxsize=16)
+def _qam_mult_tables(w: int):
+    """Static [4, W] subcarrier multiplier rows: row k is the per-sample
+    U/V multiplier pattern for scanline phase xi=k (Umult[(xi+x)&3])."""
+    x = np.arange(w)
+    um = np.stack([_UMULT_NP[(k + x) & 3] for k in range(4)]).astype(np.int32)
+    vm = np.stack([_VMULT_NP[(k + x) & 3] for k in range(4)]).astype(np.int32)
+    return um, vm  # numpy: safe to cache across jit traces
+
+
+@functools.lru_cache(maxsize=16)
+def _flip_table(w: int, guard_x3: bool):
+    """Static [4, W] sign-flip mask rows for the Y/C decode: the reference
+    flips chroma[x+2], chroma[x+3] for x from ((4-xi)&3) step 4
+    (ffmpeg_ntsc.cpp:1539-1542). guard_x3 selects the gen-2 loop bound
+    (x+3 < w) vs gen-1's (x < w, in-range flips only)."""
+    rows = []
+    p = np.arange(w)
+    for k in range(4):
+        x0 = (4 - k) & 3
+        r = (p - x0) & 3
+        base = p - r
+        mask = (r >= 2) & (base >= x0)
+        if guard_x3:
+            mask &= (base + 3) < w
+        rows.append(mask)
+    return np.stack(rows).astype(np.int32)  # numpy: safe to cache across traces
+
+
+@functools.lru_cache(maxsize=16)
+def _demux_valid_table(w: int):
+    """Static [4, W] validity of the even-sample demux read
+    ((x + xi + 1) < w)."""
+    x = np.arange(w)
+    rows = [((x + k + 1) < w) for k in range(4)]
+    return np.stack(rows).astype(np.int32)  # numpy: safe to cache across traces
 
 
 # ---------------------------------------------------------------- colorspace
@@ -94,11 +134,14 @@ def chroma_into_luma(y, i, q, xi, subcarrier_amplitude: int):
     """QAM-encode chroma onto luma (ffmpeg_ntsc.cpp:1460-1495).
 
     y,i,q: int32 [B,L,W]; xi: int32 [B,L]. Returns (y', 0, 0).
+    The phase-dependent multiplier pattern is selected from a static [4,W]
+    table via one-hot contraction (no gather).
     """
     w = y.shape[-1]
-    x = jnp.arange(w, dtype=jnp.int32)
-    sxi = (xi[..., None] + x) & 3
-    chroma = i * subcarrier_amplitude * _UMULT[sxi] + q * subcarrier_amplitude * _VMULT[sxi]
+    um_t, vm_t = _qam_mult_tables(w)
+    um = select_by_phase(xi, um_t)
+    vm = select_by_phase(xi, vm_t)
+    chroma = i * subcarrier_amplitude * um + q * subcarrier_amplitude * vm
     y = y + c_div(chroma, 50)
     zeros = jnp.zeros_like(i)
     return y, zeros, zeros
@@ -121,32 +164,32 @@ def _yc_separate(y):
 
 
 def chroma_from_luma(y, i, q, xi, subcarrier_amplitude_back: int):
-    """Y/C separation + QAM decode (ffmpeg_ntsc.cpp:1497-1567)."""
+    """Y/C separation + QAM decode (ffmpeg_ntsc.cpp:1497-1567).
+
+    Phase-dependent addressing is done with static [4,W] table selects and a
+    barrel-shift rotation instead of gathers (TPU lane gathers are slow).
+    """
     del i, q  # overwritten by decode
     b, l, w = y.shape
-    x = jnp.arange(w, dtype=jnp.int32)
 
     new_y, chroma = _yc_separate(y)
 
-    # Sign flip: for x from ((4-xi)&3) step 4 while x+3 < w, flip chroma[x+2], chroma[x+3].
-    x0 = (4 - xi[..., None]) & 3          # [B,L,1]
-    r = (x - x0) & 3                       # phase of each sample relative to x0
-    base = x - r                           # the loop variable x that touches this sample
-    flip = (r >= 2) & (base >= x0) & (base + 3 < w)
+    # Sign flip on the negative half-cycles (static mask per xi).
+    flip = select_by_phase(xi, _flip_table(w, guard_x3=True)) != 0
     chroma = jnp.where(flip, -chroma, chroma)
 
     # Rescale back (integer division, trunc): chroma * 50 / amp_back.
     chroma = c_div(chroma * 50, subcarrier_amplitude_back)
 
     # Demux even samples into I,Q: I[x] = -chroma[x+xi], Q[x] = -chroma[x+xi+1]
-    # for even x while x+xi+1 < w; later even samples are zero.
-    xe = jnp.arange(w, dtype=jnp.int32)              # sample index
+    # for even x while x+xi+1 < w; later even samples are zero. chroma[x+xi]
+    # = roll_rows(chroma, xi)[x]; wrapped values are masked off by `valid`.
+    xe = jnp.arange(w, dtype=jnp.int32)
     is_even = (xe & 1) == 0
-    idx_i = jnp.clip(xe[None, None, :] + xi[..., None], 0, w - 1)
-    idx_q = jnp.clip(xe[None, None, :] + xi[..., None] + 1, 0, w - 1)
-    valid = (xe[None, None, :] + xi[..., None] + 1) < w
-    gi = -jnp.take_along_axis(chroma, idx_i, axis=-1)
-    gq = -jnp.take_along_axis(chroma, idx_q, axis=-1)
+    r0 = roll_rows(chroma, xi)
+    gi = -r0
+    gq = -jnp.roll(r0, -1, axis=-1)
+    valid = select_by_phase(xi, _demux_valid_table(w)) != 0
     i_even = jnp.where(is_even & valid, gi, 0)
     q_even = jnp.where(is_even & valid, gq, 0)
 
@@ -270,11 +313,11 @@ def head_switching_stage(
 
     shifts = jax.vmap(lambda s, l0: _head_switch_shift_schedule(s, l0, l))(ishif, l_start)  # [B, L]
 
-    xs = jnp.arange(w, dtype=jnp.int32)
-    src = jnp.mod(xs[None, None, :] + shifts[..., None], twidth)
-    in_active = src < w
-    gathered = jnp.take_along_axis(y, jnp.where(in_active, src, 0), axis=-1)
-    rotated = jnp.where(in_active, gathered, jnp.asarray(fill, y.dtype))
+    # Rotate each line within the padded twidth raster via a barrel shift
+    # (fill value baked into the padding), then crop back to the active width.
+    padded = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, twidth - w)],
+                     constant_values=fill)
+    rotated = roll_rows(padded, shifts)[..., :w]
     return jnp.where(shifts[..., None] != 0, rotated, y)
 
 

@@ -25,7 +25,12 @@ from cvsim_tpu.ops.cmath import c_div, c_int, clampu8
 from cvsim_tpu.ops.iir import delay_writeback, iir_highpass, iir_lowpass_cascade
 from cvsim_tpu.ops.noise import smoothed_noise_walk, random_walk
 from cvsim_tpu.ops.phase import scanline_phase_xi
-from cvsim_tpu.models.yiq import head_switching_stage, _UMULT, _VMULT
+from cvsim_tpu.models.yiq import (
+    head_switching_stage,
+    _qam_mult_tables,
+    _flip_table,
+)
+from cvsim_tpu.ops.roll import select_by_phase
 
 _U8 = lambda s: clampu8(s).astype(jnp.int32)
 
@@ -71,11 +76,12 @@ def chroma_lowpass_lite(u, v, dtype=jnp.float32):
 def yuv_to_ntsc(y, u, v, xi, subcarrier_amplitude: int, nocolor_subcarrier: bool = False):
     """QAM-encode 4:2:2 chroma into luma (ffmpeg_to_composite.cpp:434-477)."""
     w = y.shape[-1]
-    x = jnp.arange(w, dtype=jnp.int32)
-    sxi = (xi[..., None] + x) & 3
+    um_t, vm_t = _qam_mult_tables(w)
+    um = select_by_phase(xi, um_t)
+    vm = select_by_phase(xi, vm_t)
     u2 = jnp.repeat(u, 2, axis=-1) - 128
     v2 = jnp.repeat(v, 2, axis=-1) - 128
-    chroma = u2 * subcarrier_amplitude * _UMULT[sxi] + v2 * subcarrier_amplitude * _VMULT[sxi]
+    chroma = u2 * subcarrier_amplitude * um + v2 * subcarrier_amplitude * vm
     y = _U8(y + c_div(chroma, 50))
     if nocolor_subcarrier:
         u = jnp.full_like(u, 128)
@@ -103,10 +109,7 @@ def ntsc_to_yuv(y, u, v, xi, subcarrier_amplitude_back: int,
 
     # sign flip (255 - c) on the negative half-cycles (:529-532); loop guard is
     # x < w (positions x+2, x+3 may exceed w in C — we flip in-range only).
-    x = jnp.arange(w, dtype=jnp.int32)
-    x0 = (4 - xi[..., None]) & 3
-    r = (x - x0) & 3
-    flip = (r >= 2) & ((x - r) >= 0)
+    flip = select_by_phase(xi, _flip_table(w, guard_x3=False)) != 0
     chroma = jnp.where(flip, 255 - chroma, chroma)
 
     # rescale by 50/amp_back around the 128 bias (:534-536)

@@ -29,13 +29,9 @@ def _affine_combine(left, right):
     return a_r * a_l, a_r * b_l + b_r
 
 
-def iir_lowpass(x: jax.Array, alpha, y0, axis: int = -1) -> jax.Array:
-    """Parallel-scan one-pole lowpass along `axis`.
-
-    alpha: scalar filter coefficient (see config.iir_alpha).
-    y0: reset value of the filter register (LowpassFilter::resetFilter) —
-        scalar or array broadcastable to x with `axis` removed.
-    """
+def iir_lowpass_scan(x: jax.Array, alpha, y0, axis: int = -1) -> jax.Array:
+    """Parallel associative-scan one-pole lowpass along `axis` (reference
+    implementation; the production path is the blocked-matmul version)."""
     x = jnp.asarray(x)
     dtype = x.dtype
     alpha = jnp.asarray(alpha, dtype)
@@ -48,6 +44,25 @@ def iir_lowpass(x: jax.Array, alpha, y0, axis: int = -1) -> jax.Array:
     if jnp.ndim(y0) != 0:
         y0 = jnp.expand_dims(y0, axis)
     return a_cum * y0 + b_cum
+
+
+def iir_lowpass(x: jax.Array, alpha, y0, axis: int = -1) -> jax.Array:
+    """One-pole lowpass along `axis`.
+
+    alpha: scalar filter coefficient (see config.iir_alpha).
+    y0: reset value of the filter register (LowpassFilter::resetFilter) —
+        scalar or array broadcastable to x with `axis` removed.
+
+    Dispatches to the MXU blocked-matmul formulation on the last axis (the
+    hot path: scanline samples / audio samples) and to the associative scan
+    otherwise.
+    """
+    from cvsim_tpu.ops.blocked_iir import iir_lowpass_blocked
+
+    x = jnp.asarray(x)
+    if axis in (-1, x.ndim - 1):
+        return iir_lowpass_blocked(x, alpha, y0)
+    return iir_lowpass_scan(x, alpha, y0, axis=axis)
 
 
 def iir_lowpass_cascade(x: jax.Array, alpha, y0, passes: int, axis: int = -1) -> jax.Array:

@@ -19,16 +19,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cvsim_tpu.ops.iir import _affine_combine
+from cvsim_tpu.ops.iir import iir_lowpass
 
 
 def random_walk(key, shape, mag: int, axis: int = -1, dtype=jnp.float32):
     """Post-update walk values n[t] = (n[t-1] + u[t]) / 2, n[-1] = 0,
-    u ~ uniform int in [-mag, mag]."""
+    u ~ uniform int in [-mag, mag].
+
+    This is exactly a one-pole lowpass with alpha=0.5 over the increment
+    stream, so it runs on the blocked-matmul IIR path."""
     u = jax.random.randint(key, shape, -mag, mag + 1).astype(dtype)
-    a = jnp.full(shape, 0.5, dtype)
-    _, b_cum = jax.lax.associative_scan(_affine_combine, (a, 0.5 * u), axis=axis)
-    return b_cum
+    return iir_lowpass(u, 0.5, 0.0, axis=axis)
 
 
 def smoothed_noise_walk(key, shape, mag: int, axis: int = -1, dtype=jnp.float32):

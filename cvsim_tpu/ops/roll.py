@@ -1,0 +1,37 @@
+"""Per-row dynamic rotation without gathers (barrel shifter).
+
+TPU gathers along the lane axis are slow; a rotation by a per-row dynamic
+amount decomposes into log2(W) static rolls + selects (a barrel shifter),
+which XLA lowers to cheap lane shifts and vselects.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def roll_rows(a, shift, axis: int = -1):
+    """out[..., x] = a[..., (x + shift) mod W] with a per-row integer shift.
+
+    a: [..., W]; shift: int array broadcastable to a.shape[:-1].
+    """
+    w = a.shape[axis]
+    s = jnp.mod(jnp.asarray(shift, jnp.int32), w)[..., None]
+    nbits = max(1, (w - 1).bit_length())
+    for b in range(nbits):
+        bit = ((s >> b) & 1) == 1
+        rolled = jnp.roll(a, -(1 << b), axis=axis)
+        a = jnp.where(bit, rolled, a)
+    return a
+
+
+def select_by_phase(xi, table):
+    """Row-phase lookup without a gather: table is a small static [4, W]
+    array; returns table[xi] as [..., W] via a one-hot contraction (lowered
+    to vselects / a tiny matmul).
+
+    xi: int array [...] with values in [0, 4).
+    """
+    table = jnp.asarray(table)
+    onehot = (xi[..., None] == jnp.arange(4, dtype=jnp.int32))
+    return jnp.einsum("...k,kw->...w", onehot.astype(table.dtype), table)

@@ -437,3 +437,131 @@ def head_switching(y, parity, point, phase, noise, ntsc=True, fill=16):
         yy += 2
         shy += 1
     return y
+
+
+# ===================================================== render_field (L4)
+
+def render_field_scalar(y_src, u_src, v_src, dst_height, parity,
+                        interlaced=False, tff=True, pts_delta=0,
+                        ticks_per_frame=2):
+    """Scalar port of render_field (ffmpeg_to_composite.cpp:1001-1129).
+    Returns field-line planes (luma [L, W], chroma [L, Wc])."""
+    src_h = y_src.shape[0]
+    chroma_h = u_src.shape[0]
+    is420 = chroma_h != src_h
+    out_y, out_u, out_v = [], [], []
+    for y in range(parity, dst_height, 2):
+        sy = (y * 0x100 * src_h) // dst_height
+        syf = sy & 0xFF
+        sy >>= 8
+        csy, csyf = sy, syf
+        if is420:
+            if not (csy & 1):
+                csyf = 0
+            csy >>= 1
+        if interlaced:
+            which = 0 if tff else 1
+            if pts_delta >= ticks_per_frame // 2:
+                which ^= 1
+            if which == 0:
+                sy += 1
+                if not (sy & 1):
+                    syf = 0
+                else:
+                    sy -= 1
+            else:
+                if not (sy & 1):
+                    syf = 0
+                    sy += 1
+            if which == 0:
+                csy += 1
+                if not (csy & 1):
+                    csyf = 0
+                else:
+                    csy -= 1
+            else:
+                if not (csy & 1):
+                    csyf = 0
+                    csy += 1
+            if sy >= src_h - 2:
+                sy = src_h - 2
+                syf = 0
+            sy2 = sy + 2
+            if csy >= chroma_h - 2:
+                csy = chroma_h - 2
+                csyf = 0
+            csy2 = csy + 1
+        else:
+            if sy >= src_h - 1:
+                sy = src_h - 1
+                syf = 0
+            sy2 = sy + 1
+            if csy >= chroma_h - 1:
+                csy = chroma_h - 1
+                csyf = 0
+            csy2 = csy + 1
+
+        def interp(plane, i1, i2, f):
+            s1 = plane[i1].astype(np.int64)
+            if f == 0:
+                return s1  # reference memcpy path; s2 never read (:1094-1096)
+            s2 = plane[i2].astype(np.int64)
+            return s1 + (((s2 - s1) * f) >> 8)
+
+        out_y.append(interp(y_src, sy, sy2, syf))
+        out_u.append(interp(u_src, csy, csy2, csyf))
+        out_v.append(interp(v_src, csy, csy2, csyf))
+    return np.stack(out_y), np.stack(out_u), np.stack(out_v)
+
+
+# ===================================================== audio chain (L7)
+
+def audio_chain_scalar(samples, rate, channels, lowpass_hz, highpass_hz,
+                       passes=6, preemph=True, deemph=True, pre_cut=16000.0,
+                       vhs_hifi=True, buzz_db=-42.0, hiss_level=0,
+                       high_boost=0.25, ntsc=True, start_count=0):
+    """Scalar port of composite_audio_process (ffmpeg_to_composite.cpp:558-627)
+    with hiss forced deterministic (hiss_level must be 0 for golden use).
+    samples: [N, C] int16-range ints. Returns int16-range [N, C]."""
+    n = samples.shape[0]
+    out = np.zeros_like(samples)
+    lo = [[Lowpass(rate, lowpass_hz, 0) for _ in range(passes)] for _ in range(channels)]
+    hi = [[Lowpass(rate, highpass_hz, 0) for _ in range(passes)] for _ in range(channels)]
+    pre = [Lowpass(rate, pre_cut, 0) for _ in range(channels)]
+    post = [Lowpass(rate, pre_cut, 0) for _ in range(channels)]
+    boost = [Lowpass(rate, 10000.0, 0) for _ in range(channels)]
+    linear_buzz = 10.0 ** (buzz_db / 20.0)
+    hsync_hz = 15734.0 if ntsc else 15625.0
+    vsync_lines = 525 if ntsc else 625
+    vpulse_end = 10 if ntsc else 12
+    hpulse_end = hsync_hz * ((4.7 if ntsc else 4.0) / 1e6)
+
+    count = start_count
+    for si in range(n):
+        for c in range(channels):
+            s = float(samples[si, c]) / 32768.0
+            for f in lo[c]:
+                s = f.lowpass(s)
+            for f in hi[c]:
+                s = f.highpass(s)
+            if preemph:
+                for i in range(channels):
+                    s = s + pre[i].highpass(s)
+            if (not vhs_hifi) and linear_buzz > 1e-9:
+                for oi in range(16):
+                    t = ((count * 16.0 + oi) * hsync_hz) / rate / 16.0
+                    hpos = math.fmod(t, 1.0)
+                    vline = int(math.fmod(math.floor(t + 1e-4 - hpos),
+                                          vsync_lines / 2.0))
+                    if hpos < hpulse_end or vline < vpulse_end:
+                        s -= linear_buzz / 16.0 / 2.0
+            s = max(-1.0, min(1.0, s))
+            if (not vhs_hifi) and high_boost > 0:
+                s += boost[c].highpass(s) * high_boost
+            if deemph:
+                for i in range(channels):
+                    s = post[i].lowpass(s)
+            v = int(s * 32768.0)
+            out[si, c] = max(-32768, min(32767, v))
+        count += 1
+    return out

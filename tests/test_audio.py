@@ -1,0 +1,110 @@
+"""Audio chain tests: golden parity (hiss off) and streaming-state equality."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import golden.ref_scalar as ref
+from cvsim_tpu.audio import (
+    AudioState,
+    buzz_pulse_counts,
+    composite_audio_process,
+    init_audio_state,
+)
+from cvsim_tpu.config import AudioConfig
+
+
+def rand_audio(n, c, seed=0):
+    rng = np.random.default_rng(seed)
+    # band-limited-ish content so filters have something to do
+    t = np.arange(n)[:, None]
+    sig = (8000 * np.sin(2 * np.pi * 440 * t / 44100)
+           + 4000 * np.sin(2 * np.pi * 3000 * t / 44100 + np.arange(c))
+           + rng.normal(0, 800, size=(n, c)))
+    return np.clip(sig, -32768, 32767).astype(np.int64)
+
+
+def run_chain(audio, cfg, state=None, dtype=jnp.float64):
+    if state is None:
+        state = init_audio_state(cfg, dtype)
+    pulses = None
+    if not cfg.vhs_hifi:
+        pulses = buzz_pulse_counts(cfg, int(state.sample_count), audio.shape[0])
+    out, new_state = composite_audio_process(
+        jnp.asarray(audio, jnp.int32), state, jax.random.PRNGKey(0),
+        cfg=cfg, pulses=pulses, dtype=dtype)
+    return np.asarray(out), new_state
+
+
+def assert_close_lsb(got, want, lsb=2, frac=0.01):
+    diff = np.abs(got.astype(np.int64) - want.astype(np.int64))
+    assert diff.max() <= lsb, f"max diff {diff.max()}"
+    assert (diff > 0).mean() <= frac, f"{(diff > 0).mean()} mismatch"
+
+
+def test_hifi_stereo_matches_golden():
+    cfg = AudioConfig(hiss_db=-1000.0)  # hiss_level -> 0
+    assert cfg.hiss_level == 0
+    audio = rand_audio(3000, 2, seed=1)
+    got, _ = run_chain(audio, cfg)
+    want = ref.audio_chain_scalar(
+        audio, cfg.rate, 2, cfg.lowpass_hz, cfg.highpass_hz,
+        preemph=True, deemph=True, pre_cut=cfg.preemphasis_cut_hz,
+        vhs_hifi=True)
+    assert_close_lsb(got, want)
+
+
+def test_linear_mono_with_buzz_and_boost():
+    cfg = AudioConfig(hiss_db=-1000.0, vhs_hifi=False, channels=1,
+                      lowpass_hz=4000.0, highpass_hz=100.0,
+                      preemphasis_cut_hz=8000.0,
+                      emulating_preemphasis=False, emulating_deemphasis=False)
+    audio = rand_audio(3000, 1, seed=2)
+    got, _ = run_chain(audio, cfg)
+    want = ref.audio_chain_scalar(
+        audio, cfg.rate, 1, 4000.0, 100.0, preemph=False, deemph=False,
+        pre_cut=8000.0, vhs_hifi=False, buzz_db=cfg.linear_buzz_db,
+        high_boost=cfg.linear_high_boost)
+    assert_close_lsb(got, want)
+
+
+def test_streaming_chunks_match_whole():
+    """Chunked processing with carried state == one-shot processing."""
+    cfg = AudioConfig(hiss_db=-1000.0, vhs_hifi=False, channels=2,
+                      lowpass_hz=10000.0, highpass_hz=100.0)
+    audio = rand_audio(4096, 2, seed=3)
+    whole, _ = run_chain(audio, cfg)
+
+    state = init_audio_state(cfg, jnp.float64)
+    outs = []
+    pos = 0
+    for size in (1000, 37, 2000, 1059):
+        chunk = audio[pos:pos + size]
+        pulses = buzz_pulse_counts(cfg, pos, size)
+        out, state = composite_audio_process(
+            jnp.asarray(chunk, jnp.int32), state, jax.random.PRNGKey(0),
+            cfg=cfg, pulses=pulses, dtype=jnp.float64)
+        outs.append(np.asarray(out))
+        pos += size
+    chunked = np.concatenate(outs)
+    assert_close_lsb(chunked, whole, lsb=1, frac=0.001)
+
+
+def test_buzz_is_audible_and_periodic():
+    cfg = AudioConfig(vhs_hifi=False, channels=1)
+    p = buzz_pulse_counts(cfg, 0, 44100)
+    assert p.max() >= 1           # pulses present
+    assert p.min() >= 0
+    # pulse duty: hsync 4.7us * 15734Hz ~ 7.4% of slots + vsync lines
+    # 10/262.5 ~ 3.8% -> ~1.8 of 16 slots per sample on average
+    assert 1.0 <= p.mean() <= 3.0
+
+
+def test_hiss_statistics():
+    cfg = AudioConfig(hiss_db=-40.0)
+    level = cfg.hiss_level
+    assert level > 0
+    audio = np.zeros((8000, 2), np.int64)
+    got, _ = run_chain(audio, cfg, dtype=jnp.float32)
+    # silence in, hiss out: nonzero with bounded amplitude
+    assert np.abs(got).max() > 0

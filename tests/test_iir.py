@@ -4,11 +4,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from cvsim_tpu.config import iir_alpha, NTSC_RATE
+from cvsim_tpu.ops.blocked_iir import iir_lowpass_blocked
 from cvsim_tpu.ops.iir import (
     delay_writeback,
     iir_highpass,
     iir_lowpass,
     iir_lowpass_cascade,
+    iir_lowpass_scan,
 )
 from golden.ref_scalar import Lowpass
 
@@ -61,6 +63,48 @@ def test_highpass_identity():
     hp = iir_highpass(x, alpha, 16.0)
     lp = iir_lowpass(x, alpha, 16.0)
     np.testing.assert_allclose(np.asarray(hp + lp), np.asarray(x), rtol=1e-12)
+
+
+def test_blocked_matches_sequential():
+    """Blocked-matmul IIR vs sequential float64, including non-multiple-of-128
+    widths, nonzero reset values, and batched axes."""
+    rng = np.random.default_rng(7)
+    for w in (64, 128, 257, 704):
+        x = rng.uniform(0, 65280, size=(2, 3, w))
+        for hz, y0 in ((1300000.0, 0.0), (280000.0, 128.0), (2400000.0, 16.0)):
+            alpha = iir_alpha(NTSC_RATE, hz)
+            got = np.asarray(
+                iir_lowpass_blocked(jnp.asarray(x, jnp.float64), alpha, y0))
+            for b in range(2):
+                for l in range(3):
+                    want = seq_lowpass(x[b, l], NTSC_RATE, hz, y0)
+                    np.testing.assert_allclose(
+                        got[b, l], want, rtol=1e-9, atol=1e-6)
+
+
+def test_blocked_long_axis_scan_carry():
+    """Large block counts (noise walks over L*W) take the scan-carry path."""
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-16, 16, size=(2, 4096))
+    got = np.asarray(iir_lowpass_blocked(jnp.asarray(x, jnp.float64), 0.5, 3.0))
+    for b in range(2):
+        f = 3.0
+        want = []
+        for s in x[b]:
+            f = 0.5 * s + 0.5 * f
+            want.append(f)
+        np.testing.assert_allclose(got[b], np.array(want), rtol=1e-9, atol=1e-9)
+
+
+def test_blocked_matches_scan_f32():
+    """In float32 (the TPU production dtype) blocked and scan paths agree to
+    float32 tolerance on plane-scale values."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(-32768, 65280, size=(4, 704)), jnp.float32)
+    alpha = iir_alpha(NTSC_RATE, 600000.0)
+    a = np.asarray(iir_lowpass_blocked(x, alpha, 0.0))
+    b = np.asarray(iir_lowpass_scan(x, alpha, 0.0))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=0.25)
 
 
 def test_delay_writeback():

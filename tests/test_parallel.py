@@ -1,0 +1,50 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvsim_tpu.config import CompositeConfig, VHSSpeed
+from cvsim_tpu.models import yiq
+from cvsim_tpu.parallel.mesh import make_mesh, run_sharded_chain, _factor_2d
+
+
+def test_factor_2d():
+    assert _factor_2d(8) == (4, 2)
+    assert _factor_2d(4) == (2, 2)
+    assert _factor_2d(1) == (1, 1)
+    assert _factor_2d(6) == (3, 2)
+
+
+def test_sharded_chain_matches_single_device():
+    cfg = CompositeConfig(
+        emulating_vhs=True, vhs_tape_speed=VHSSpeed.SP,
+        video_noise=0, video_chroma_noise=0, video_chroma_phase_noise=0,
+        video_chroma_loss=0, vhs_head_switching=True,
+        vhs_head_switching_phase_noise=0.0)
+    rng = np.random.default_rng(0)
+    b, l, w = 8, 32, 128
+    rgb = rng.integers(0, 256, size=(b, l, w, 3)).astype(np.int32)
+    fieldno = np.arange(b, dtype=np.int32)
+    parity = (np.arange(b) & 1).astype(np.int32)
+    key = jax.random.PRNGKey(3)
+
+    mesh = make_mesh(8)
+    sharded = np.asarray(run_sharded_chain(mesh, cfg, rgb, fieldno, parity, key))
+
+    single = np.asarray(yiq.composite_layer_rgb(
+        jnp.asarray(rgb), jnp.asarray(fieldno), jnp.asarray(parity), key,
+        cfg=cfg))
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_graft_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape
+    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(4)
