@@ -1,0 +1,3 @@
+from cvsim_tpu.cli.main import main
+
+raise SystemExit(main())

@@ -1,0 +1,162 @@
+"""cvsim-tpu command line (reference L8).
+
+Subcommands map 1:1 to the reference tools; flags within each subcommand use
+the reference's exact names and preset-layering semantics
+(ffmpeg_to_composite.cpp:1272-1323 help text is the contract).
+
+I/O formats: video is Y4M in/out (`-i in.y4m -o out.y4m`); audio rides
+sidecar WAV (`-audio-in in.wav -audio-out out.wav`) since Y4M carries no
+audio. With an `ffmpeg` binary on PATH any container works via pipes.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+
+from cvsim_tpu import presets
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: full-chain TPU compiles are
+    expensive (minutes through a remote-compile service); cache them."""
+    import jax
+
+    path = os.environ.get(
+        "CVSIM_XLA_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "cvsim_tpu_xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+
+
+def _soft_sigint():
+    """Soft Ctrl-C: finish the current batch and write the trailer; abort
+    after 20 signals (reference DIE counter, ffmpeg_to_composite.cpp:62-66)."""
+    state = {"die": 0}
+
+    def handler(sig, frame):
+        state["die"] += 1
+        if state["die"] >= 20:
+            raise SystemExit(130)
+
+    for s in (signal.SIGINT, signal.SIGTERM, signal.SIGHUP):
+        try:
+            signal.signal(s, handler)
+        except (ValueError, OSError):
+            pass
+    return state
+
+
+def cmd_to_composite(argv):
+    """Flagship gen-1 tool (ffmpeg_to_composite)."""
+    st = presets.parse_composite_flags(argv, gen2=False)
+    if not st.input_files and not st.audio_in:
+        print("You must specify an input and output file (-i and -o).",
+              file=sys.stderr)
+        return 1
+    return _run_common(st, gen1=True)
+
+
+def cmd_ntsc(argv):
+    """Gen-2 YIQ engine tool (ffmpeg_ntsc): multi-input layering + delay ring."""
+    st = presets.parse_composite_flags(argv, gen2=True)
+    if not st.output_file and not st.audio_out:
+        print("No output file specified", file=sys.stderr)
+        return 1
+    from cvsim_tpu.host.pipeline_yiq import YIQPipeline
+    from cvsim_tpu.host import y4m
+
+    die = _soft_sigint()
+    cfg = st.to_run_config(gen1=False)
+    pipe = YIQPipeline(cfg, frame_delay=st.frame_delay, die=die)
+    readers = []
+    files = []
+    for path in st.input_files:
+        f = open(path, "rb")
+        files.append(f)
+        readers.append(y4m.Y4MReader(f))
+    with open(st.output_file, "wb") as out:
+        fields = pipe.run_video(readers, out)
+    for f in files:
+        f.close()
+    if st.audio_in and st.audio_out:
+        pipe_a = _audio_pipe(cfg)
+        pipe_a.run_audio(st.audio_in, st.audio_out)
+    print(f"\n{fields} fields", file=sys.stderr)
+    return 0
+
+
+def _audio_pipe(cfg):
+    from cvsim_tpu.host.pipeline import CompositePipeline
+    return CompositePipeline(cfg)
+
+
+def _run_common(st, gen1: bool):
+    from cvsim_tpu.host import y4m
+    from cvsim_tpu.host.pipeline import CompositePipeline
+
+    die = _soft_sigint()
+    cfg = st.to_run_config(gen1=gen1)
+    print(f"Transcoding from {max(0.0, st.transcode_start):.2f} to "
+          f"{st.transcode_end:.2f}", file=sys.stderr)
+    print(f"VHS head switching point: {st.vhs_head_switching_point:.6f}",
+          file=sys.stderr)
+    print(f"VHS head switching noise: {st.vhs_head_switching_phase_noise:.6f}",
+          file=sys.stderr)
+    pipe = CompositePipeline(cfg)
+    fields = 0
+    if st.input_files and st.video_stream_index >= 0 and st.output_file:
+        with open(st.input_files[0], "rb") as fin, \
+                open(st.output_file, "wb") as fout:
+            fields = pipe.run_video(y4m.Y4MReader(fin), fout)
+    if st.audio_in and st.audio_out and st.audio_stream_index >= 0:
+        pipe.run_audio(st.audio_in, st.audio_out)
+    return 0
+
+
+def cmd_cassette(argv):
+    from cvsim_tpu.cli.tools import run_cassette
+    return run_cassette(argv)
+
+
+def _tool(name):
+    def run(argv):
+        from cvsim_tpu.cli import tools
+        return getattr(tools, f"run_{name}")(argv)
+    return run
+
+
+COMMANDS = {
+    "to-composite": cmd_to_composite,
+    "ntsc": cmd_ntsc,
+    "cassette": cmd_cassette,
+    "colorkey": _tool("colorkey"),
+    "colormap": _tool("colormap"),
+    "posterize": _tool("posterize"),
+    "scanimate": _tool("scanimate"),
+    "average-delay": _tool("average_delay"),
+    "frameblend": _tool("frameblend"),
+    "filmac": _tool("filmac"),
+    "vhsled": _tool("vhsled"),
+    "raw28ntsc": _tool("raw28ntsc"),
+    "normalize-ts": _tool("normalize_ts"),
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print("usage: cvsim <command> [flags]\ncommands: "
+              + " ".join(sorted(COMMANDS)), file=sys.stderr)
+        return 0 if argv else 1
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command '{cmd}'", file=sys.stderr)
+        return 1
+    _enable_compile_cache()
+    return COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,350 @@
+"""CLI runners for the sibling tools.
+
+Each mirrors its reference tool's flags (cited per function) over the shared
+Y4M-in/Y4M-out scaffold: frames -> RGB -> device op (vs a delay-ring canvas
+where the tool is stateful) -> RGB -> Y4M at field rate.
+"""
+
+from __future__ import annotations
+
+import sys
+from fractions import Fraction
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvsim_tpu.host import timing, wavio, y4m
+from cvsim_tpu.host.pipeline_yiq import _scale_frame_to
+from cvsim_tpu.host.colorconv import rgb_to_yuv601
+from cvsim_tpu.models import tools as ops
+
+
+class _ToolArgs:
+    """Minimal left-to-right parser for the shared InputFile-style flags."""
+
+    def __init__(self, argv, extra=None):
+        self.inputs = []
+        self.output = ""
+        self.width = 720
+        self.height = 480
+        self.field_rate = Fraction(60000, 1001)
+        self.use_422 = False
+        self.delay = 1
+        self.per_input = []     # list of dicts, one per -i (InputFile style)
+        self.extra = {}
+        cur = {}
+        i = 0
+        extra = extra or {}
+        while i < len(argv):
+            a = argv[i]; i += 1
+            if not a.startswith("-"):
+                raise ValueError(f"Unhandled arg '{a}'")
+            a = a.lstrip("-")
+            if a == "i":
+                cur = dict(cur)  # reference copies prior input's settings
+                cur["path"] = argv[i]; i += 1
+                self.inputs.append(argv[i - 1])
+                self.per_input.append(cur)
+            elif a == "o":
+                self.output = argv[i]; i += 1
+            elif a == "width":
+                self.width = int(argv[i]); i += 1
+            elif a == "d":
+                self.delay = int(argv[i]); i += 1
+                if self.delay == 0 or self.delay > 256:
+                    raise ValueError("Invalid delay")
+            elif a == "422":
+                self.use_422 = True
+            elif a == "420":
+                self.use_422 = False
+            elif a == "tvstd":
+                v = argv[i]; i += 1
+                if v == "pal":
+                    self.height, self.field_rate = 576, Fraction(50, 1)
+                elif v == "ntsc":
+                    self.height, self.field_rate = 480, Fraction(60000, 1001)
+                else:
+                    raise ValueError(f"Unknown tv std '{v}'")
+            elif a in extra:
+                kind, key = extra[a]
+                if kind == "flag":
+                    cur[key] = True
+                    self.extra[key] = True
+                else:
+                    v = argv[i]; i += 1
+                    val = kind(v)
+                    cur[key] = val
+                    self.extra[key] = val
+            else:
+                raise ValueError(f"Unknown switch '{a}'")
+            if self.per_input:
+                self.per_input[-1] = cur
+
+
+def _frame_loop(args: _ToolArgs, per_field):
+    """Drive input frames at the output field rate; per_field(rgb_frame,
+    fieldno) -> RGB [H, W, 3] output frame."""
+    fin = open(args.inputs[0], "rb")
+    reader = y4m.Y4MReader(fin)
+    fps = reader.header.fps
+    out_hdr = y4m.Y4MHeader(
+        width=args.width, height=args.height, fps=args.field_rate,
+        interlacing="p", aspect="4:3",
+        colorspace="422" if args.use_422 else "420jpeg")
+    fout = open(args.output, "wb")
+    writer = y4m.Y4MWriter(fout, out_hdr)
+
+    current = 0
+    frame_idx = 0
+    frame = None
+    next_at = 0
+    it = iter(reader)
+    eof = False
+    while True:
+        while not eof and next_at <= current:
+            try:
+                yf, uf, vf = next(it)
+            except StopIteration:
+                eof = True
+                break
+            if uf is None:
+                uf = np.full_like(yf, 128)
+                vf = uf
+            frame = _scale_frame_to(yf, uf, vf, args.width, args.height)
+            frame_idx += 1
+            next_at = timing.frame_pts_to_field(frame_idx, fps, args.field_rate)
+        if frame is None or (eof and current >= next_at):
+            break
+        out_rgb = per_field(frame, current)
+        y, u, v = rgb_to_yuv601(out_rgb[..., 0], out_rgb[..., 1], out_rgb[..., 2])
+        y = np.asarray(y).astype(np.uint8)
+        u = np.asarray(u).astype(np.uint8)
+        v = np.asarray(v).astype(np.uint8)
+        if args.use_422:
+            writer.write(y, u[:, 0::2], v[:, 0::2])
+        else:
+            writer.write(y, u[0::2, 0::2], v[0::2, 0::2])
+        print(f"\x0dOutput field {current} ", end="", file=sys.stderr)
+        current += 1
+    print("", file=sys.stderr)
+    fin.close()
+    fout.close()
+    return 0
+
+
+def run_posterize(argv):
+    """ffmpeg_posterize flags (:630-660): -threshhold <n> bit truncation."""
+    args = _ToolArgs(argv, extra={"threshhold": (int, "threshhold")})
+    thr = args.extra.get("threshhold", 0)
+    fn = jax.jit(lambda f: ops.posterize(f, thr))
+    return _frame_loop(args, lambda frame, fieldno: np.asarray(fn(frame)))
+
+
+def run_colormap(argv):
+    """ffmpeg_colormap: first -i is the map image, second the video
+    (take_colormap from the middle scanline, :785-799)."""
+    args = _ToolArgs(argv)
+    if len(args.inputs) < 2:
+        print("colormap needs -i <map.y4m> -i <video.y4m>", file=sys.stderr)
+        return 1
+    with open(args.inputs[0], "rb") as f:
+        my, mu, mv = next(iter(y4m.Y4MReader(f)))
+    if mu is None:
+        mu = np.full_like(my, 128)
+        mv = mu
+    map_rgb = np.asarray(_scale_frame_to(my, mu, mv, args.width, args.height))
+    lut = ops.take_colormap(map_rgb)
+    args.inputs = args.inputs[1:]
+    fn = jax.jit(lambda f: ops.colormap_apply(f, jnp.asarray(lut)))
+    return _frame_loop(args, lambda frame, fieldno: np.asarray(fn(frame)))
+
+
+def run_colorkey(argv):
+    """ffmpeg_colorkey flags (:639-698): -color <argb> -threshhold -inv
+    -noise <n> -f <fade> -xd <n> -d <ring>."""
+    args = _ToolArgs(argv, extra={
+        "color": (lambda v: int(v, 0), "color"),
+        "threshhold": (int, "threshhold"),
+        "inv": ("flag", "invert"),
+        "noise": (int, "noisekey"),
+        "f": (int, "fade"),
+        "xd": (int, "xdivr"),
+    })
+    color_int = args.extra.get("color", 0)
+    color = ((color_int >> 16) & 0xFF, (color_int >> 8) & 0xFF, color_int & 0xFF)
+    thr = args.extra.get("threshhold", 0)
+    inv = bool(args.extra.get("invert", False))
+    noisekey = args.extra.get("noisekey", 0)
+    fade = args.extra.get("fade", 0)
+    xdivr = args.extra.get("xdivr", 1)
+
+    ring = [jnp.zeros((args.height, args.width, 3), jnp.int32)
+            for _ in range(args.delay)]
+    idx = {"i": 0}
+    key = {"k": jax.random.PRNGKey(0)}
+
+    fn = jax.jit(lambda dst, src, k: ops.colorkey_apply(
+        dst, src, k, color=color, threshhold=thr, invert=inv,
+        noisekey=noisekey, fade=fade, xdivr=xdivr))
+
+    def per_field(frame, fieldno):
+        key["k"], sub = jax.random.split(key["k"])
+        canvas = fn(ring[idx["i"]], frame, sub)
+        ring[idx["i"]] = canvas
+        idx["i"] = (idx["i"] + 1) % args.delay
+        return np.asarray(canvas)
+
+    return _frame_loop(args, per_field)
+
+
+def run_average_delay(argv):
+    """ffmpeg_average_delay flags (:619-655): -d <ring> -n <newlevel>."""
+    args = _ToolArgs(argv, extra={"n": (int, "newlevel")})
+    newlevel = args.extra.get("newlevel", 128)
+    ring = [jnp.zeros((args.height, args.width, 3), jnp.int32)
+            for _ in range(args.delay)]
+    idx = {"i": 0}
+
+    fn = jax.jit(lambda dst, src, fld: ops.average_delay_blend(
+        dst, src, fld, newlevel=newlevel, delay=args.delay))
+
+    def per_field(frame, fieldno):
+        canvas = fn(ring[idx["i"]], frame, fieldno)
+        ring[idx["i"]] = canvas
+        idx["i"] = (idx["i"] + 1) % args.delay
+        return np.asarray(canvas)
+
+    return _frame_loop(args, per_field)
+
+
+def run_scanimate(argv):
+    """ffmpeg_scanimate flags (:653-698): -inntsc (source is interlaced NTSC),
+    plus raster presets 720p60/1080p60 set width/height."""
+    args = _ToolArgs(argv, extra={"inntsc": ("flag", "inntsc")})
+    input_ntsc = bool(args.extra.get("inntsc", False))
+
+    fn = jax.jit(lambda f, fld, fno: ops.scanimate_pack(
+        ops.scanimate_field(f, args.height, args.width, fld, fno,
+                            input_ntsc=input_ntsc)),
+        static_argnums=(1,))
+
+    def per_field(frame, fieldno):
+        parity = (fieldno & 1) ^ 1
+        return np.asarray(fn(frame, parity if input_ntsc else 0,
+                             jnp.int32(fieldno)))
+
+    return _frame_loop(args, per_field)
+
+
+def run_cassette(argv):
+    """ffmpeg_cassette flags (:420-560): -low -high -headalign
+    -headalignwaver -mono -preset 0..4 -audio-hiss -preemphasis -deemphasis.
+    Audio-only: -i in.wav -o out.wav."""
+    from cvsim_tpu.audio.cassette import (
+        CASSETTE_PRESETS, CassetteConfig, cassette_audio_process,
+        init_cassette_state)
+
+    kw = dict()
+    in_path = out_path = ""
+    ss = se = dur = -1.0
+    i = 0
+    while i < len(argv):
+        a = argv[i].lstrip("-"); i += 1
+        if a == "i":
+            in_path = argv[i]; i += 1
+        elif a == "o":
+            out_path = argv[i]; i += 1
+        elif a == "mono":
+            kw["mono_downmix"] = True
+        elif a == "headalign":
+            kw["head_tilt"] = float(int(float(argv[i]))); i += 1  # atoi in ref
+        elif a == "headalignwaver":
+            kw["head_tilt_waver"] = float(int(float(argv[i]))); i += 1
+        elif a == "low":
+            kw["lowpass_hz"] = float(argv[i]); i += 1
+        elif a == "high":
+            kw["highpass_hz"] = float(argv[i]); i += 1
+        elif a == "audio-hiss":
+            kw["hiss_db"] = float(argv[i]); i += 1
+        elif a == "preemphasis":
+            kw["emulating_preemphasis"] = int(argv[i]) > 0; i += 1
+        elif a == "deemphasis":
+            kw["emulating_deemphasis"] = int(argv[i]) > 0; i += 1
+        elif a == "preset":
+            kw.update(CASSETTE_PRESETS[int(argv[i])]); i += 1
+        elif a == "ss":
+            ss = float(argv[i]); i += 1
+        elif a == "se":
+            se = float(argv[i]); i += 1
+        elif a == "t":
+            dur = float(argv[i]); i += 1
+        elif a in ("a", "an"):
+            if a == "a":
+                i += 1
+        else:
+            print(f"Unknown switch '{a}'", file=sys.stderr)
+            return 1
+    if not in_path or not out_path:
+        print("cassette needs -i in.wav -o out.wav", file=sys.stderr)
+        return 1
+
+    # preset values may be overridden by later flags: _ToolArgs-style ordering
+    # is already handled because we apply dict.update in argv order.
+    cfg = CassetteConfig(**{k: v for k, v in kw.items()
+                            if k in CassetteConfig._fields})
+    samples, rate = wavio.read_wav(in_path)
+    if rate != cfg.rate:
+        from cvsim_tpu.host.pipeline import _resample_linear
+        samples = _resample_linear(samples, rate, cfg.rate)
+    if ss >= 0 or se >= 0 or dur >= 0:
+        if se < 0 and dur >= 0:
+            se = max(ss, 0) + dur
+        s0 = int(max(ss, 0) * cfg.rate)
+        s1 = int(se * cfg.rate) if se >= 0 else len(samples)
+        samples = samples[s0:s1]
+    if samples.shape[1] != cfg.channels:
+        if cfg.channels == 2 and samples.shape[1] == 1:
+            samples = np.repeat(samples, 2, axis=1)
+        else:
+            samples = samples[:, :cfg.channels]
+
+    state = init_cassette_state(cfg)
+    key = jax.random.PRNGKey(0)
+    outs = []
+    pos = 0
+    chunk = 65536
+    while pos < len(samples):
+        key, sub = jax.random.split(key)
+        out, state = cassette_audio_process(
+            jnp.asarray(samples[pos:pos + chunk], jnp.int32), state, sub,
+            cfg=cfg)
+        outs.append(np.asarray(out))
+        pos += chunk
+    wavio.write_wav(out_path, np.concatenate(outs).astype(np.int16), cfg.rate)
+    return 0
+
+
+def run_frameblend(argv):
+    print("frameblend: not yet implemented in this build", file=sys.stderr)
+    return 2
+
+
+def run_filmac(argv):
+    print("filmac: not yet implemented in this build", file=sys.stderr)
+    return 2
+
+
+def run_vhsled(argv):
+    print("vhsled: not yet implemented in this build", file=sys.stderr)
+    return 2
+
+
+def run_raw28ntsc(argv):
+    print("raw28ntsc: not yet implemented in this build", file=sys.stderr)
+    return 2
+
+
+def run_normalize_ts(argv):
+    print("normalize-ts: not yet implemented in this build", file=sys.stderr)
+    return 2

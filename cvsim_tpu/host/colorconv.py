@@ -1,0 +1,56 @@
+"""Color conversion + horizontal scaling device ops for the host shim.
+
+The reference leans on libswscale for horizontal scaling and pixel-format
+conversion (ffmpeg_to_composite.cpp:1742-1781, ffmpeg_ntsc.cpp:544); here
+they are small JAX ops. BT.601 studio-range matrices (SMPTE 170M is the
+colorspace the reference tags its frames with, :2187-2188).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def hscale_bilinear(plane, dst_w: int):
+    """Horizontal-only bilinear resize of [..., W] to [..., dst_w]
+    (the sws SWS_BILINEAR role for width conversion)."""
+    src_w = plane.shape[-1]
+    if src_w == dst_w:
+        return jnp.asarray(plane)
+    # center-aligned sampling
+    xs = (np.arange(dst_w) + 0.5) * src_w / dst_w - 0.5
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, src_w - 1)
+    x1 = np.minimum(x0 + 1, src_w - 1)
+    f = (xs - x0).astype(np.float32)
+    p = jnp.asarray(plane).astype(jnp.float32)
+    s0 = p[..., x0]
+    s1 = p[..., x1]
+    out = s0 + (s1 - s0) * jnp.asarray(f)
+    return jnp.round(out).astype(jnp.int32)
+
+
+def yuv_to_rgb601(y, u, v):
+    """Studio-range BT.601 YCbCr -> full-range RGB (uint8 domain int32 in/out).
+    u, v are at the same spatial resolution as y (replicate before calling)."""
+    yf = (jnp.asarray(y, jnp.float32) - 16.0) * (255.0 / 219.0)
+    uf = jnp.asarray(u, jnp.float32) - 128.0
+    vf = jnp.asarray(v, jnp.float32) - 128.0
+    r = yf + 1.402 * (255.0 / 224.0) * vf
+    g = yf - 0.344136 * (255.0 / 224.0) * uf - 0.714136 * (255.0 / 224.0) * vf
+    b = yf + 1.772 * (255.0 / 224.0) * uf
+    clip = lambda x: jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
+    return clip(r), clip(g), clip(b)
+
+
+def rgb_to_yuv601(r, g, b):
+    """Full-range RGB -> studio-range BT.601 YCbCr (int32 uint8-domain)."""
+    rf = jnp.asarray(r, jnp.float32)
+    gf = jnp.asarray(g, jnp.float32)
+    bf = jnp.asarray(b, jnp.float32)
+    yl = 0.299 * rf + 0.587 * gf + 0.114 * bf
+    y = yl * (219.0 / 255.0) + 16.0
+    u = (bf - yl) / 1.772 * (224.0 / 255.0) + 128.0
+    v = (rf - yl) / 1.402 * (224.0 / 255.0) + 128.0
+    clip = lambda x: jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
+    return clip(y), clip(u), clip(v)

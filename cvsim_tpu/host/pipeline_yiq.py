@@ -1,0 +1,164 @@
+"""Gen-2 (ffmpeg_ntsc) pipeline: RGB frames -> YIQ chain per field -> bobbed
+progressive output (master loop, ffmpeg_ntsc.cpp:2146-2283).
+
+Notes on fidelity vs the reference's structure:
+- The reference keeps a ring of `-d` BGRA canvases, but its per-field
+  composite_layer fully overwrites the processed field lines from the source
+  frame and the field-deinterlace step (:2233-2257) then duplicates those
+  lines across the other parity, so ring contents never reach the output in
+  ffmpeg_ntsc itself (the ring is load-bearing in the colorkey/average_delay
+  siblings, which share the scaffold). We therefore batch fields onto the
+  device and bob each processed field into a frame.
+- Multi-input layering: each layer's composite_layer overwrites the canvas's
+  field lines, so the last input with a current frame wins; we composite that
+  one.
+"""
+
+from __future__ import annotations
+
+import sys
+from fractions import Fraction
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvsim_tpu.config import RunConfig
+from cvsim_tpu.host import timing, y4m
+from cvsim_tpu.host.colorconv import hscale_bilinear, rgb_to_yuv601, yuv_to_rgb601
+from cvsim_tpu.models import yiq
+
+
+def _scale_frame_to(y, u, v, width: int, height: int):
+    """Scale a Y4M frame (possibly 4:2:0) to a full-res RGB [H, W, 3] frame
+    (the frame_copy_scale role, ffmpeg_ntsc.cpp:544-607)."""
+    # chroma up to luma resolution
+    yh, yw = y.shape
+    u = np.repeat(np.repeat(u, yh // u.shape[0], axis=0), yw // u.shape[1], axis=1)
+    v = np.repeat(np.repeat(v, yh // v.shape[0], axis=0), yw // v.shape[1], axis=1)
+    r, g, b = yuv_to_rgb601(jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
+                            jnp.asarray(v, jnp.int32))
+    rgb = jnp.stack([r, g, b], axis=-1)
+    # horizontal
+    rgb = jnp.moveaxis(hscale_bilinear(jnp.moveaxis(rgb, -1, 0), width), 0, -1)
+    # vertical (reuse the horizontal scaler on the transposed frame)
+    rgbt = jnp.swapaxes(rgb, 0, 1)
+    rgbt = jnp.moveaxis(hscale_bilinear(jnp.moveaxis(rgbt, -1, 0), height), 0, -1)
+    return jnp.swapaxes(rgbt, 0, 1)  # [H, W, 3]
+
+
+class YIQPipeline:
+    def __init__(self, cfg: RunConfig, frame_delay: int = 1, gop: int = 16,
+                 die=None, dtype=jnp.float32, progress: bool = True):
+        self.cfg = cfg
+        self.gop = gop
+        self.die = die or {"die": 0}
+        self.dtype = dtype
+        self.progress = progress
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.frame_delay = frame_delay
+        out = cfg.output
+        self._field_rate = Fraction(out.field_rate_num, out.field_rate_den)
+
+        ccfg = cfg.composite
+
+        @jax.jit
+        def process_batch(rgb_fields, fieldno, parity, key):
+            if cfg.enable_composite_emulation:
+                return yiq.composite_layer_rgb(
+                    rgb_fields, fieldno, parity, key, cfg=ccfg, dtype=dtype)
+            return rgb_fields.astype(jnp.uint8)
+
+        self._process_batch = process_batch
+
+    def _flush(self, batch, writer):
+        if not batch:
+            return
+        rgbs = jnp.stack([b[0] for b in batch])
+        fieldnos = jnp.asarray([b[1] for b in batch], jnp.int32)
+        parities = jnp.asarray([b[2] for b in batch], jnp.int32)
+        self.key, sub = jax.random.split(self.key)
+        out = np.asarray(self._process_batch(rgbs, fieldnos, parities, sub))
+        for k in range(len(batch)):
+            self._emit(out[k], int(batch[k][1]), writer)
+
+    def _emit(self, rgb_field, fieldno, writer):
+        out = self.cfg.output
+        # bob the field to a full progressive frame, then RGB -> YUV
+        h, w = out.height, out.width
+        frame = np.repeat(rgb_field, 2, axis=0)[:h]
+        y, u, v = rgb_to_yuv601(jnp.asarray(frame[..., 0], jnp.int32),
+                                jnp.asarray(frame[..., 1], jnp.int32),
+                                jnp.asarray(frame[..., 2], jnp.int32))
+        y = np.asarray(y).astype(np.uint8)
+        u = np.asarray(u).astype(np.uint8)
+        v = np.asarray(v).astype(np.uint8)
+        if out.use_422_colorspace:
+            writer.write(y, u[:, 0::2], v[:, 0::2])
+        else:
+            writer.write(y, u[0::2, 0::2], v[0::2, 0::2])
+        if self.progress:
+            print(f"\x0dOutput field {fieldno} ", end="", file=sys.stderr)
+
+    def run_video(self, readers: list, out_stream):
+        cfg = self.cfg
+        out = cfg.output
+        whdr = y4m.Y4MHeader(
+            width=out.width, height=out.height, fps=self._field_rate,
+            interlacing="p", aspect="4:3",
+            colorspace="422" if out.use_422_colorspace else "420jpeg")
+        writer = y4m.Y4MWriter(out_stream, whdr)
+
+        iters = [iter(r) for r in readers]
+        fps = [r.header.fps for r in readers]
+        frames = [None] * len(readers)      # current scaled RGB frame
+        next_at = [0] * len(readers)        # field index when next frame due
+        frame_idx = [0] * len(readers)
+        eof = [False] * len(readers)
+
+        current = 0
+        batch = []
+        while True:
+            if self.die["die"]:
+                break
+            # advance inputs whose next frame is due
+            for k in range(len(readers)):
+                while not eof[k] and next_at[k] <= current:
+                    try:
+                        yf, uf, vf = next(iters[k])
+                    except StopIteration:
+                        eof[k] = True
+                        break
+                    if uf is None:
+                        uf = np.full((yf.shape[0], yf.shape[1]), 128, np.uint8)
+                        vf = uf
+                    frames[k] = _scale_frame_to(yf, uf, vf, out.width, out.height)
+                    frame_idx[k] += 1
+                    next_at[k] = timing.frame_pts_to_field(
+                        frame_idx[k], fps[k], self._field_rate)
+            if all(eof) and all(next_at[k] <= current for k in range(len(readers))):
+                break
+            # last input with a frame wins (see module docstring)
+            src = None
+            for k in reversed(range(len(readers))):
+                if frames[k] is not None:
+                    src = frames[k]
+                    break
+            if src is None:
+                current += 1
+                continue
+            parity = (current & 1) ^ 1
+            field_rgb = src[parity::2]
+            batch.append((field_rgb, current, parity))
+            current += 1
+            if len(batch) >= self.gop:
+                self._flush(batch, writer)
+                batch = []
+            if all(eof):
+                # drain remaining scheduled fields up to the last frame's due
+                if current >= max(next_at):
+                    break
+        self._flush(batch, writer)
+        if self.progress:
+            print("", file=sys.stderr)
+        return current

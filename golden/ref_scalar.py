@@ -565,3 +565,65 @@ def audio_chain_scalar(samples, rate, channels, lowpass_hz, highpass_hz,
             out[si, c] = max(-32768, min(32767, v))
         count += 1
     return out
+
+
+# ===================================================== cassette chain
+
+def cassette_chain_scalar(samples, rate, channels, lowpass_hz, highpass_hz,
+                          head_tilt=0.2, head_tilt_waver=0.5, preemph=True,
+                          deemph=True, pre_cut=4000.0, hiss_level=0,
+                          mono_downmix=False, passes=6):
+    """Scalar port of ffmpeg_cassette.cpp composite_audio_process (:334-416)
+    with hiss forced deterministic (hiss_level must be 0)."""
+    n = samples.shape[0]
+    out = np.zeros_like(samples)
+    lo = [[Lowpass(rate, lowpass_hz, 0) for _ in range(passes)] for _ in range(channels)]
+    hi = [[Lowpass(rate, highpass_hz, 0) for _ in range(passes)] for _ in range(channels)]
+    pre = [Lowpass(rate, pre_cut, 0) for _ in range(channels)]
+    post = [Lowpass(rate, pre_cut, 0) for _ in range(channels)]
+    length = int(math.floor(abs(head_tilt) * 2 + abs(head_tilt) * 3 + 7.5))
+    maps = [[0.0] * length for _ in range(channels)]
+    mult = [[0.0] * length for _ in range(channels)]
+
+    count = 0
+    for si in range(n):
+        t = count / rate
+        htf = (head_tilt_waver * math.sin(t * math.pi * 2 * 1.5)) + head_tilt
+        lr = htf * 1.5
+        for c in range(channels):
+            mid = (lr if c == 0 else -lr) + length / 2.0
+            for i in range(length):
+                d = (i - mid) / (abs(htf) + 1.0)
+                d = 1.0 - abs(d)
+                if d < 0:
+                    d = 0
+                d /= abs(htf) + 1.0
+                mult[c][i] = d
+        for c in range(channels):
+            s = float(samples[si, c]) / 32768.0
+            for f in lo[c]:
+                s = f.lowpass(s)
+            for f in hi[c]:
+                s = f.highpass(s)
+            if preemph:
+                for i in range(channels):
+                    s = s + pre[i].highpass(s)
+            s = max(-1.0, min(1.0, s))
+            # hiss omitted (hiss_level == 0)
+            m = maps[c]
+            for i in range(length - 1):
+                m[i] = m[i + 1]
+            m[length - 1] = s
+            s = sum(m[i] * mult[c][i] for i in range(length))
+            if deemph:
+                for i in range(channels):
+                    s = post[i].lowpass(s)
+            v = int(s * 32768.0)
+            out[si, c] = max(-32768, min(32767, v))
+        if mono_downmix and channels == 2:
+            tot = int(out[si, 0]) + int(out[si, 1])
+            q = abs(tot) // 2
+            tot = -q if tot < 0 else q
+            out[si, 0] = out[si, 1] = tot
+        count += 1
+    return out

@@ -108,3 +108,46 @@ def test_hiss_statistics():
     got, _ = run_chain(audio, cfg, dtype=jnp.float32)
     # silence in, hiss out: nonzero with bounded amplitude
     assert np.abs(got).max() > 0
+
+
+def test_cassette_matches_golden():
+    from cvsim_tpu.audio.cassette import (
+        CassetteConfig, cassette_audio_process, init_cassette_state)
+
+    cfg = CassetteConfig(hiss_db=-1000.0, head_tilt=3.5, head_tilt_waver=0.55,
+                         lowpass_hz=16000.0, highpass_hz=100.0)
+    assert cfg.hiss_level == 0
+    audio = rand_audio(2000, 2, seed=7)
+    state = init_cassette_state(cfg, jnp.float64)
+    got, _ = cassette_audio_process(
+        jnp.asarray(audio, jnp.int32), state, jax.random.PRNGKey(0),
+        cfg=cfg, dtype=jnp.float64)
+    want = ref.cassette_chain_scalar(
+        audio, cfg.rate, 2, cfg.lowpass_hz, cfg.highpass_hz,
+        head_tilt=cfg.head_tilt, head_tilt_waver=cfg.head_tilt_waver,
+        pre_cut=cfg.preemphasis_cut_hz)
+    assert_close_lsb(np.asarray(got), want)
+
+
+def test_cassette_streaming_chunks():
+    from cvsim_tpu.audio.cassette import (
+        CassetteConfig, cassette_audio_process, init_cassette_state)
+
+    cfg = CassetteConfig(hiss_db=-1000.0, head_tilt=1.1, head_tilt_waver=0.25,
+                         mono_downmix=True)
+    audio = rand_audio(3000, 2, seed=8)
+    state = init_cassette_state(cfg, jnp.float64)
+    whole, _ = cassette_audio_process(
+        jnp.asarray(audio, jnp.int32), state, jax.random.PRNGKey(0),
+        cfg=cfg, dtype=jnp.float64)
+
+    state = init_cassette_state(cfg, jnp.float64)
+    outs = []
+    pos = 0
+    for size in (700, 1300, 1000):
+        out, state = cassette_audio_process(
+            jnp.asarray(audio[pos:pos+size], jnp.int32), state,
+            jax.random.PRNGKey(0), cfg=cfg, dtype=jnp.float64)
+        outs.append(np.asarray(out))
+        pos += size
+    assert_close_lsb(np.concatenate(outs), np.asarray(whole), lsb=1, frac=0.001)

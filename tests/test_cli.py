@@ -1,0 +1,150 @@
+"""End-to-end CLI tests: tiny clips through each tool on the CPU mesh."""
+
+import io
+import os
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from cvsim_tpu.cli.main import main
+from cvsim_tpu.host import wavio, y4m
+
+
+W, H, FRAMES = 128, 96, 4
+
+
+def make_clip(path, frames=FRAMES, w=W, h=H, colorspace="420jpeg", seed=0):
+    rng = np.random.default_rng(seed)
+    hdr = y4m.Y4MHeader(width=w, height=h, fps=Fraction(30000, 1001),
+                        colorspace=colorspace)
+    with open(path, "wb") as f:
+        wr = y4m.Y4MWriter(f, hdr)
+        for k in range(frames):
+            y = np.full((h, w), 16, np.uint8)
+            y[:, (k * 8) % w:(k * 8) % w + 16] = 200   # moving bar
+            if colorspace == "422":
+                u = rng.integers(100, 156, (h, w // 2), dtype=np.uint8)
+                v = rng.integers(100, 156, (h, w // 2), dtype=np.uint8)
+            else:
+                u = rng.integers(100, 156, (h // 2, w // 2), dtype=np.uint8)
+                v = rng.integers(100, 156, (h // 2, w // 2), dtype=np.uint8)
+            wr.write(y, u, v)
+    return path
+
+
+def read_all(path):
+    with open(path, "rb") as f:
+        r = y4m.Y4MReader(f)
+        return r.header, list(r)
+
+
+def test_to_composite_end_to_end(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    rc = main(["to-composite", "-i", src, "-o", out,
+               "-width", str(W), "-noise", "0"])
+    assert rc == 0
+    hdr, frames = read_all(out)
+    assert hdr.width == W and hdr.height == 480
+    assert hdr.fps == Fraction(60000, 1001)
+    assert len(frames) == 8  # 4 frames -> 8 fields (bob, progressive)
+    # composite artifacts present but structure preserved
+    y0 = frames[0][0]
+    assert y0.mean() > 10
+
+
+def test_to_composite_vhs_interlaced(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    rc = main(["to-composite", "-i", src, "-o", out, "-width", str(W),
+               "-vhs", "-vhs-speed", "ep", "-vi", "-seed", "3"])
+    assert rc == 0
+    hdr, frames = read_all(out)
+    assert hdr.fps == Fraction(30000, 1001)   # interlaced = frame rate
+    assert len(frames) == 4
+
+
+def test_ntsc_tool(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    rc = main(["ntsc", "-i", src, "-o", out, "-width", str(W), "-noise", "0"])
+    assert rc == 0
+    hdr, frames = read_all(out)
+    assert len(frames) == 8
+
+
+def test_posterize(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    rc = main(["posterize", "-i", src, "-o", out, "-width", str(W),
+               "-threshhold", "3"])
+    assert rc == 0
+    hdr, frames = read_all(out)
+    assert len(frames) == 8
+
+
+def test_colorkey_and_average_delay(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "k.y4m")
+    rc = main(["colorkey", "-i", src, "-o", out, "-width", str(W),
+               "-color", "0x101010", "-threshhold", "40", "-f", "16", "-d", "4"])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) == 8
+
+    out2 = str(tmp_path / "a.y4m")
+    rc = main(["average-delay", "-i", src, "-o", out2, "-width", str(W),
+               "-d", "2", "-n", "64"])
+    assert rc == 0
+    _, frames2 = read_all(out2)
+    assert len(frames2) == 8
+
+
+def test_colormap(tmp_path):
+    mp = make_clip(str(tmp_path / "map.y4m"), frames=1, seed=5)
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    rc = main(["colormap", "-i", mp, "-i", src, "-o", out, "-width", str(W)])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) == 8
+
+
+def test_scanimate(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"), frames=2, w=64, h=48)
+    out = str(tmp_path / "out.y4m")
+    rc = main(["scanimate", "-i", src, "-o", out, "-width", "64"])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) >= 2
+    # phosphor rendering produces nonzero raster
+    assert frames[0][0].max() > 0
+
+
+def test_cassette_cli(tmp_path):
+    t = np.arange(8000)
+    sine = (9000 * np.sin(2 * np.pi * 880 * t / 44100)).astype(np.int16)
+    inp = str(tmp_path / "in.wav")
+    outp = str(tmp_path / "out.wav")
+    wavio.write_wav(inp, np.stack([sine, sine], -1), 44100)
+    rc = main(["cassette", "-i", inp, "-o", outp, "-preset", "2", "-mono"])
+    assert rc == 0
+    got, rate = wavio.read_wav(outp)
+    assert rate == 44100 and len(got) == 8000
+    assert np.abs(got).max() > 100   # signal survived
+    np.testing.assert_array_equal(got[:, 0], got[:, 1])  # mono downmix
+
+
+def test_to_composite_audio_sidecar(tmp_path):
+    t = np.arange(6000)
+    sine = (9000 * np.sin(2 * np.pi * 440 * t / 44100)).astype(np.int16)
+    ain = str(tmp_path / "a.wav")
+    aout = str(tmp_path / "ao.wav")
+    wavio.write_wav(ain, np.stack([sine, sine], -1), 44100)
+    rc = main(["to-composite", "-audio-in", ain, "-audio-out", aout,
+               "-vhs-hifi", "0"])
+    assert rc == 0
+    got, rate = wavio.read_wav(aout)
+    assert len(got) == 6000
+    assert got.shape[1] == 1   # linear VHS audio goes mono
