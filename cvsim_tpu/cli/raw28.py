@@ -1,0 +1,95 @@
+"""CLI for the raw composite decoder (ffmpeg_raw28ntsc flags, :436-498):
+-s <ntsc28|40mhz|hz> sample rate, -i <raw file|-> (repeatable), -o out.y4m,
+-marksig, -nosig, -noequ, -nowequ, -nosc, -showsc, -422/-420, -width.
+"""
+
+from __future__ import annotations
+
+import sys
+from fractions import Fraction
+
+import numpy as np
+
+from cvsim_tpu.host import y4m
+from cvsim_tpu.models.raw28 import Raw28Decoder, rate_preset
+
+
+def run(argv):
+    inputs = []
+    output = ""
+    width = 720
+    srate = "ntsc28"
+    use_422 = True
+    kw = dict()
+    i = 0
+    while i < len(argv):
+        a = argv[i].lstrip("-"); i += 1
+        if a == "i":
+            inputs.append(argv[i]); i += 1
+        elif a == "o":
+            output = argv[i]; i += 1
+        elif a == "s":
+            srate = argv[i]; i += 1
+        elif a == "width":
+            width = int(argv[i]); i += 1
+        elif a == "marksig":
+            kw["mark_sync"] = True
+        elif a == "nosig":
+            kw["disable_sync"] = True
+        elif a == "noequ":
+            kw["equalize"] = False
+        elif a == "nowequ":
+            kw["wp_equalize"] = False
+        elif a == "nosc":
+            kw["separate_chroma"] = False
+        elif a == "showsc":
+            kw["show_subcarrier"] = True
+        elif a == "422":
+            use_422 = True
+        elif a == "420":
+            use_422 = False
+        elif a == "inntsc":
+            pass
+        else:
+            print(f"Unknown switch '{a}'", file=sys.stderr)
+            return 1
+    if not inputs or not output:
+        print("raw28ntsc needs -i <raw|-> and -o <out.y4m>", file=sys.stderr)
+        return 1
+
+    kw.pop("mark_sync", None)  # visualization flag; detector marks internally
+    height = 240  # one field of 262-line raster renders 240 visible lines
+    dec = Raw28Decoder(rate_preset(srate), width=width, height=height, **kw)
+
+    hdr = y4m.Y4MHeader(width=width, height=height * 2,
+                        fps=Fraction(30000, 1001), interlacing="p",
+                        colorspace="422" if use_422 else "420jpeg")
+    fout = open(output, "wb")
+    writer = y4m.Y4MWriter(fout, hdr)
+
+    fields = 0
+    for path in inputs:
+        f = sys.stdin.buffer if path == "-" else open(path, "rb")
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                break
+            dec.feed(chunk)
+            while True:
+                field = dec.decode_field()
+                if field is None:
+                    break
+                frame = np.repeat(field, 2, axis=0)  # bob to full height
+                if use_422:
+                    neutral = np.full((frame.shape[0], width // 2), 128, np.uint8)
+                    writer.write(frame, neutral, neutral)
+                else:
+                    neutral = np.full((frame.shape[0] // 2, width // 2), 128, np.uint8)
+                    writer.write(frame, neutral, neutral)
+                fields += 1
+                print(f"\x0dOutput field {fields} ", end="", file=sys.stderr)
+        if path != "-":
+            f.close()
+    print("", file=sys.stderr)
+    fout.close()
+    return 0

@@ -325,26 +325,157 @@ def run_cassette(argv):
     return 0
 
 
+def _parse_gamma(v: str) -> float:
+    if v in ("vga", "ntsc"):
+        return 2.2
+    return float(v)
+
+
 def run_frameblend(argv):
-    print("frameblend: not yet implemented in this build", file=sys.stderr)
-    return 2
+    """frameblend flags (:522-568): -or <rate> output rate, -sqnr squelch,
+    -fa <n> alternate-frame step, -ffa full-frame-alt, -gamma <x|vga|ntsc>."""
+    from cvsim_tpu.models import restore
+
+    args = _ToolArgs(argv, extra={
+        "or": (Fraction, "out_rate"),
+        "sqnr": ("flag", "sqnr"),
+        "ffa": ("flag", "ffa"),
+        "fa": (int, "fa"),
+        "gamma": (_parse_gamma, "gamma"),
+        "height": (int, "height_flag"),
+    })
+    if "height_flag" in args.extra:
+        args.height = args.extra["height_flag"]
+    out_rate = args.extra.get("out_rate", args.field_rate)
+    framealt = max(1, min(8, args.extra.get("fa", 1)))
+    fullframealt = bool(args.extra.get("ffa", False))
+    squelch = bool(args.extra.get("sqnr", False))
+    gamma = args.extra.get("gamma", -1.0)
+    gdec = genc = None
+    if gamma > 1:
+        gdec, genc = restore.gamma_tables(gamma)
+
+    fin = open(args.inputs[0], "rb")
+    reader = y4m.Y4MReader(fin)
+    fps = reader.header.fps
+    out_hdr = y4m.Y4MHeader(
+        width=args.width, height=args.height, fps=Fraction(out_rate),
+        interlacing="p", aspect="4:3",
+        colorspace="422" if args.use_422 else "420jpeg")
+    fout = open(args.output, "wb")
+    writer = y4m.Y4MWriter(fout, out_hdr)
+
+    it = iter(reader)
+    frames = []        # RGB numpy frames
+    frame_t = []       # in output-frame units
+    src_idx = 0
+    eof = False
+    current = 0
+    while True:
+        while not eof and (not frame_t or frame_t[-1] < current + 30):
+            try:
+                yf, uf, vf = next(it)
+            except StopIteration:
+                eof = True
+                break
+            if uf is None:
+                uf = np.full_like(yf, 128)
+                vf = uf
+            frames.append(np.asarray(
+                _scale_frame_to(yf, uf, vf, args.width, args.height)))
+            frame_t.append(float(src_idx * out_rate / fps))
+            src_idx += 1
+        if not frames or (eof and frame_t and current > np.ceil(frame_t[-1])):
+            break
+        w16, cutoff = restore.frameblend_weights(
+            frame_t, current, framealt, fullframealt, squelch)
+        used = [frames[i] for i, _ in w16]
+        out_rgb = np.asarray(restore.frameblend_mix(
+            np.stack(used), w16, gdec, genc))
+        _write_rgb(writer, out_rgb, args.use_422)
+        print(f"\x0dOutput frame {current} ", end="", file=sys.stderr)
+        current += 1
+        if cutoff > 0:
+            frames = frames[cutoff:]
+            frame_t = frame_t[cutoff:]
+        if eof and current > (frame_t[-1] if frame_t else 0) + 1:
+            break
+    print("", file=sys.stderr)
+    fin.close()
+    fout.close()
+    return 0
 
 
 def run_filmac(argv):
-    print("filmac: not yet implemented in this build", file=sys.stderr)
-    return 2
+    """filmac flags (:486-560): -gamma <x|vga|ntsc>, 1:1 frame AGC."""
+    from cvsim_tpu.models import restore
+
+    args = _ToolArgs(argv, extra={
+        "gamma": (_parse_gamma, "gamma"),
+        "height": (int, "height_flag"),
+        "underscan": (int, "underscan"),
+        "or": (Fraction, "out_rate"),
+    })
+    if "height_flag" in args.extra:
+        args.height = args.extra["height_flag"]
+    gamma = args.extra.get("gamma", -1.0)
+    gdec = genc = None
+    if gamma > 1:
+        gdec, genc = restore.gamma_tables(gamma)
+    state = restore.FilmacState()
+
+    def per_field(frame, fieldno):
+        minv, maxv, scaleto = restore.filmac_measure(frame, gdec)
+        restore.filmac_update_levels(state, minv, maxv)
+        return np.asarray(restore.filmac_rescale(frame, state, scaleto,
+                                                 gdec, genc))
+
+    return _frame_loop(args, per_field)
 
 
 def run_vhsled(argv):
-    print("vhsled: not yet implemented in this build", file=sys.stderr)
-    return 2
+    """vhsled: per-scanline left-edge de-jitter (no tool-specific flags)."""
+    from cvsim_tpu.models import restore
+
+    args = _ToolArgs(argv, extra={"height": (int, "height_flag")})
+    if "height_flag" in args.extra:
+        args.height = args.extra["height_flag"]
+    fn = jax.jit(restore.vhsled_dejitter)
+    return _frame_loop(args, lambda frame, fieldno: np.asarray(fn(frame)))
 
 
 def run_raw28ntsc(argv):
-    print("raw28ntsc: not yet implemented in this build", file=sys.stderr)
-    return 2
+    """Software composite-signal decoder (ffmpeg_raw28ntsc)."""
+    from cvsim_tpu.cli.raw28 import run as run_raw
+    return run_raw(argv)
 
 
 def run_normalize_ts(argv):
-    print("normalize-ts: not yet implemented in this build", file=sys.stderr)
-    return 2
+    """normalize_ts: monotonic PTS rewrite. Y4M carries no timestamps (frames
+    are implicitly monotonic at the header rate), so for Y4M this is a
+    remux/validation pass; the PTS-repair engine itself is
+    cvsim_tpu.host.timing.StreamTsState (used by the ffmpeg_pipe backend)."""
+    args = _ToolArgs(argv, extra={"program": (int, "program"),
+                                  "maxfwd": (int, "maxfwd")})
+    with open(args.inputs[0], "rb") as f, open(args.output, "wb") as out:
+        r = y4m.Y4MReader(f)
+        w = y4m.Y4MWriter(out, r.header)
+        st = timing.StreamTsState(max_forward=args.extra.get("maxfwd", 0))
+        n = 0
+        for yf, uf, vf in r:
+            st.rewrite(n)
+            w.write(yf, uf, vf)
+            n += 1
+    print(f"{n} frames remuxed (monotonic)", file=sys.stderr)
+    return 0
+
+
+def _write_rgb(writer, rgb, use_422: bool):
+    y, u, v = rgb_to_yuv601(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    y = np.asarray(y).astype(np.uint8)
+    u = np.asarray(u).astype(np.uint8)
+    v = np.asarray(v).astype(np.uint8)
+    if use_422:
+        writer.write(y, u[:, 0::2], v[:, 0::2])
+    else:
+        writer.write(y, u[0::2, 0::2], v[0::2, 0::2])

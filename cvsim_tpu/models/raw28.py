@@ -1,0 +1,293 @@
+"""Software composite-video decoder ("software TV set"),
+ffmpeg_raw28ntsc.cpp.
+
+Architecture (SURVEY.md section 7 hard-part 6): the data-dependent control
+flow — sync-pulse classification, vsync hunting, AGC calibration, per-line
+re-lock, fractional scanline pacing — runs on the host over the tiny
+DC-normalized detector signal (numpy run-length encoding; the per-sample DC
+tracker itself is native C++, cvsim_tpu/native). The per-line DSP —
+equalization and the 8x-fsc Y/C separation — runs vectorized on device over
+a [lines, samples] matrix gathered at the host-determined line starts.
+
+Timing constants (compute_NTSC, :249-256): scanline = rate/(29.97*525);
+8fsc = 315/88 MHz * 8 ~= 28.636 MHz so the chroma subcarrier is exactly 8
+samples per cycle, enabling Y/C separation by destructive interference
+(:725-760).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvsim_tpu.ops.cmath import c_div
+
+SYNC_THRESHOLD = int(192 * 0.25 * 0.5)  # :552
+
+
+@dataclasses.dataclass
+class RawTiming:
+    sample_rate: float
+
+    @property
+    def subcarrier_freq(self):
+        return 315000000.0 / 88.0
+
+    @property
+    def one_frame_time(self):
+        return self.sample_rate / (30000.0 / 1001.0)
+
+    @property
+    def one_scanline_time(self):
+        return self.one_frame_time / 525.0
+
+    @property
+    def raw_length(self) -> int:
+        return int(self.one_scanline_time + 0.5)
+
+
+def rate_preset(name: str) -> float:
+    if name == "ntsc28":
+        return (315000000.0 * 8.0) / 88.0
+    if name == "40mhz":
+        return 40000000.0
+    return float(name)
+
+
+def runs_below(dc: np.ndarray, threshold: int = SYNC_THRESHOLD):
+    """RLE of sync pulses: regions where the detector signal dips below the
+    threshold. Returns (starts, ends) arrays."""
+    below = dc < threshold
+    d = np.diff(below.astype(np.int8))
+    starts = np.where(d == 1)[0] + 1
+    ends = np.where(d == -1)[0] + 1
+    if below.size and below[0]:
+        starts = np.concatenate([[0], starts])
+    if below.size and below[-1]:
+        ends = np.concatenate([ends, [below.size]])
+    return starts, ends
+
+
+@dataclasses.dataclass
+class AGCState:
+    blank_level: float = 0.0
+    white_level: float = 192.0
+
+    def update_from_pulse(self, raw: np.ndarray, dc: np.ndarray,
+                          threshold: int = SYNC_THRESHOLD):
+        """Black/white calibration from an equalization-pulse window
+        (:660-694): mean raw level inside vs outside the pulse, 1/8 IIR."""
+        inside = dc < threshold
+        mind = int(inside.sum())
+        maxd = int((~inside).sum())
+        mina = int(raw[inside].sum()) // mind if mind else 0
+        maxa = int(raw[~inside].sum()) // maxd if maxd else 0
+        nwhite = min(max(int(maxa + (maxa - mina) / (0.25 + 0.125)), maxa + 1), 240)
+        nblack = maxa
+        a = 1.0 / 8.0
+        self.white_level = self.white_level * (1 - a) + nwhite * a
+        self.blank_level = self.blank_level * (1 - a) + nblack * a
+
+
+def hunt_vsync(dc: np.ndarray, raw: np.ndarray, raw_len: int,
+               agc: AGCState, threshold: int = SYNC_THRESHOLD):
+    """Pulse-length classifier (:625-699): walk sync pulses; vsync >= 0.3H,
+    hsync >= 0.06H, equalization >= 0.02H. After >= 9 serration pulses, lock
+    on the next hsync pulse center. Returns the locked sample index or None.
+    """
+    starts, ends = runs_below(dc, threshold)
+    vsb = 0
+    skip_until = -1
+    for s, e in zip(starts, ends):
+        if s < skip_until:
+            continue
+        synclen = e - s
+        if synclen >= int(raw_len * 0.3):
+            vsb += 1
+            skip_until = max(e, s + int(raw_len * 0.3))
+        elif synclen >= int(raw_len * 0.06):
+            if vsb >= 9:
+                return s + synclen // 2
+        elif synclen >= int(raw_len * 0.02):
+            vsb += 1
+            agc.update_from_pulse(raw[s:s + int(raw_len * 0.3)],
+                                  dc[s:s + int(raw_len * 0.3)], threshold)
+            skip_until = max(e, s + int(raw_len * 0.3))
+    return None
+
+
+def relock_hsync(dc: np.ndarray, pos: int, window_back: int, raw_len: int,
+                 threshold: int = SYNC_THRESHOLD):
+    """Per-line hsync re-lock (:793-833): look from pos-window for the next
+    hsync-length pulse; returns (new_pos, hit_vsync)."""
+    start = max(0, pos - window_back)
+    starts, ends = runs_below(dc[start:], threshold)
+    vsb = 0
+    skip_until = -1
+    for s, e in zip(starts, ends):
+        if s < skip_until:
+            continue
+        synclen = e - s
+        if synclen >= int(raw_len * 0.3):
+            vsb += 1
+            skip_until = s + int(raw_len * 0.3)
+        elif synclen >= int(raw_len * 0.06):
+            return start + s + synclen // 2, False
+        elif synclen >= int(raw_len * 0.02):
+            vsb += 1
+            skip_until = s + int(raw_len * 0.3)
+        if vsb >= 9:
+            return pos, True
+    return pos, False
+
+
+# ------------------------------------------------------------- device-side
+
+def decode_lines(
+    raw_lines,            # int32 [N, L+24] gathered raw samples per line
+    blank_level: float,
+    white_level: float,
+    *,
+    raw_len: int,
+    equalize: bool = True,
+    wp_equalize: bool = True,
+    separate_chroma: bool = True,
+    show_subcarrier: bool = False,
+    width: int = 720,
+):
+    """Equalization + Y/C separation for a batch of scanlines
+    (:706-779). Returns (luma uint8 [N, width], chroma int32 [N, width])."""
+    x = jnp.asarray(raw_lines, jnp.int32)
+
+    if equalize:
+        v = x - jnp.int32(int(blank_level))
+        if wp_equalize:
+            span = max(1, int(white_level - blank_level))
+            v = c_div(v * 255, span)
+        x = v
+
+    if separate_chroma:
+        sl = lambda a, o, n: jax.lax.dynamic_slice_in_dim(a, o, n, axis=-1)
+        scan = x
+        luma = c_div(sl(scan, 0, raw_len) + sl(scan, 4, raw_len) + 1, 2)
+        chroma = sl(scan, 0, raw_len) - luma
+        # burst enhancement: c[x] + c[x+8] - c[x+4] - c[x+12]
+        cpad = jnp.pad(chroma, [(0, 0), (0, 16)])
+        chroma = (sl(cpad, 0, raw_len) + sl(cpad, 8, raw_len)
+                  - sl(cpad, 4, raw_len) - sl(cpad, 12, raw_len))
+        # 4 denoise iterations: c[x] -= (c[x] + c[x+4]) / 2
+        for _ in range(4):
+            cpad = jnp.pad(chroma, [(0, 0), (0, 4)])
+            chroma = chroma - c_div(sl(cpad, 0, raw_len) + sl(cpad, 4, raw_len), 2)
+        # shift by 16 and /4 renormalize (:755-757); head keeps zeros
+        shifted = jnp.pad(c_div(chroma, 4), [(0, 0), (16, 0)])[:, :raw_len]
+        chroma = shifted
+        luma = x[:, :raw_len] - chroma
+    else:
+        luma = x[:, :raw_len]
+        chroma = jnp.zeros_like(luma)
+
+    if show_subcarrier:
+        out = chroma[:, :width] + 128
+    else:
+        out = luma[:, :width]
+    return jnp.clip(out, 0, 255).astype(jnp.uint8), chroma[:, :width]
+
+
+class Raw28Decoder:
+    """Streaming decoder: feed raw bytes, pull decoded fields."""
+
+    def __init__(self, sample_rate: float, width: int = 720,
+                 height: int = 480, *, disable_sync: bool = False,
+                 equalize: bool = True, wp_equalize: bool = True,
+                 separate_chroma: bool = True, show_subcarrier: bool = False):
+        from cvsim_tpu.native import HsyncDcTracker
+
+        self.t = RawTiming(sample_rate)
+        self.width = width
+        self.height = height
+        self.disable_sync = disable_sync
+        self.equalize = equalize
+        self.wp_equalize = wp_equalize
+        self.separate_chroma = separate_chroma
+        self.show_subcarrier = show_subcarrier
+        self.agc = AGCState()
+        self.tracker = HsyncDcTracker(
+            sample_rate, self.t.one_scanline_time, self.t.one_frame_time)
+        self.raw = np.zeros(0, np.uint8)
+        self.dc = np.zeros(0, np.uint8)
+        self.pos = 0
+
+    def feed(self, data: bytes | np.ndarray):
+        r, d = self.tracker.process(np.frombuffer(data, np.uint8)
+                                    if isinstance(data, bytes) else data)
+        self.raw = np.concatenate([self.raw, r])
+        self.dc = np.concatenate([self.dc, d])
+
+    def _compact(self):
+        if self.pos > 0:
+            self.raw = self.raw[self.pos:]
+            self.dc = self.dc[self.pos:]
+            self.pos = 0
+
+    def decode_field(self):
+        """Decode one field (height lines) if enough samples are buffered;
+        returns uint8 [height, width] or None."""
+        self._compact()
+        rl = self.t.raw_length
+        need = rl * (self.height + 30)
+        if len(self.raw) < need:
+            return None
+
+        pos = 0
+        if not self.disable_sync:
+            lock = hunt_vsync(self.dc, self.raw, rl, self.agc)
+            if lock is not None:
+                pos = lock
+
+        # gather line starts with fractional pacing + per-line re-lock
+        width_f = float(rl)
+        err = 0.0
+        line_starts = []
+        p = pos
+        for y in range(self.height):
+            if p + rl * 2 >= len(self.raw):
+                break
+            line_starts.append(p)
+            adj = int(np.floor(width_f))
+            err += width_f - adj
+            if err >= 1.0:
+                err -= 1.0
+                adj += 1
+            p += adj
+            if not self.disable_sync:
+                p, hit_vsync = relock_hsync(
+                    self.dc, p, int(rl * 0.1), rl)
+                if hit_vsync:
+                    break
+        if not line_starts:
+            self.pos = min(len(self.raw), pos + rl * 240)
+            return None
+
+        n = len(line_starts)
+        idx = (np.asarray(line_starts)[:, None]
+               + np.arange(rl + 24)[None, :])
+        idx = np.minimum(idx, len(self.raw) - 1)
+        lines = self.raw[idx].astype(np.int32)
+
+        out, _ = decode_lines(
+            jnp.asarray(lines), self.agc.blank_level, self.agc.white_level,
+            raw_len=rl, equalize=self.equalize, wp_equalize=self.wp_equalize,
+            separate_chroma=self.separate_chroma,
+            show_subcarrier=self.show_subcarrier, width=self.width)
+        out = np.asarray(out)
+        if n < self.height:
+            out = np.pad(out, [(0, self.height - n), (0, 0)])
+
+        # advance at least 240 scanlines (:836-845)
+        consumed = max(p, pos + rl * 240)
+        self.pos = min(len(self.raw), consumed)
+        return out

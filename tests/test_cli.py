@@ -148,3 +148,75 @@ def test_to_composite_audio_sidecar(tmp_path):
     got, rate = wavio.read_wav(aout)
     assert len(got) == 6000
     assert got.shape[1] == 1   # linear VHS audio goes mono
+
+
+def test_frameblend(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"), frames=6)
+    out = str(tmp_path / "out.y4m")
+    rc = main(["frameblend", "-i", src, "-o", out, "-width", str(W),
+               "-or", "30000/1001", "-sqnr"])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) >= 5
+
+
+def test_filmac(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    rc = main(["filmac", "-i", src, "-o", out, "-width", str(W),
+               "-gamma", "vga"])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) == 8
+    # AGC should stretch contrast: output luma range wider than input's
+    y = frames[-1][0].astype(int)
+    assert y.max() - y.min() >= 150
+
+
+def test_vhsled(tmp_path):
+    # frame with a black left margin that varies per line
+    from cvsim_tpu.host import y4m as y4mmod
+    from fractions import Fraction as Fr
+    hdr = y4mmod.Y4MHeader(width=W, height=H, fps=Fr(30000, 1001))
+    src = str(tmp_path / "in.y4m")
+    rng = np.random.default_rng(0)
+    with open(src, "wb") as f:
+        wr = y4mmod.Y4MWriter(f, hdr)
+        for _ in range(2):
+            y = np.full((H, W), 16, np.uint8)
+            for row in range(H):
+                margin = 12 + (row % 5)
+                y[row, margin:] = 180
+            u = np.full((H // 2, W // 2), 128, np.uint8)
+            wr.write(y, u, u)
+    out = str(tmp_path / "out.y4m")
+    rc = main(["vhsled", "-i", src, "-o", out, "-width", str(W)])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) >= 2
+    # after de-jitter the bright edge should be aligned across rows
+    y = frames[0][0].astype(int)
+    edges = np.argmax(y > 100, axis=1)
+    mid = edges[8:-8]
+    assert mid.std() <= 2.0, mid.std()
+
+
+def test_normalize_ts(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    rc = main(["normalize-ts", "-i", src, "-o", out])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) == FRAMES
+
+
+def test_raw28ntsc_cli(tmp_path):
+    from tests.test_raw28 import synth_capture
+    raw = str(tmp_path / "cap.raw")
+    synth_capture(3).tofile(raw)
+    out = str(tmp_path / "tv.y4m")
+    rc = main(["raw28ntsc", "-i", raw, "-o", out])
+    assert rc == 0
+    hdr, frames = read_all(out)
+    assert len(frames) >= 1
+    assert frames[0][0].max() > 100  # picture content recovered
