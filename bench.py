@@ -21,7 +21,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 W, LINES = 704, 240          # 480i field
-BATCH = 64                   # fields per device call (~1.07s of video)
+BATCH = 256                  # fields per device call (~4.3s of video)
 REPS = 5
 
 
