@@ -180,6 +180,7 @@ class CompositePipeline:
                 break
             if t < cfg.transcode_start:
                 continue
+            frame_pts = timing.frame_pts_to_field(frame_idx, fps, self._field_rate)
             tgt = timing.frame_pts_to_field(frame_idx + 1, fps, self._field_rate)
             tgt = timing.video_target_field(tgt, video_field)
             if usrc is None:
@@ -192,10 +193,13 @@ class CompositePipeline:
             vsrc = hscale_bilinear(jnp.asarray(vsrc, jnp.int32), out.width // 2)
             while video_field < tgt:
                 parity = (video_field & 1) ^ 1  # bottom field first (:1784)
+                # pts_delta selects which source field feeds this output field
+                # for interlaced sources (:1033-1036)
                 fy, fu, fv = fieldops.render_field(
                     ysrc, usrc, vsrc, out.height, parity,
                     src_interlaced=src_interlaced, src_top_field_first=src_tff,
-                    pts_delta=0, ticks_per_frame=ticks_per_frame)
+                    pts_delta=max(0, video_field - frame_pts),
+                    ticks_per_frame=ticks_per_frame)
                 batch.append((fy, fu, fv, video_field, parity))
                 video_field += 1
                 if len(batch) >= self.gop:

@@ -30,7 +30,15 @@ import jax.numpy as jnp
 
 from cvsim_tpu.config import CompositeConfig, NTSC_RATE, iir_alpha
 from cvsim_tpu.ops.cmath import c_div, c_int
-from cvsim_tpu.ops.iir import delay_writeback, iir_highpass, iir_lowpass, iir_lowpass_cascade
+from cvsim_tpu.ops.iir import (
+    cascade_emph,
+    cascade_plain,
+    cascade_unsharp,
+    delay_writeback,
+    iir_highpass,
+    iir_lowpass,
+    iir_lowpass_cascade,
+)
 from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk, uniform_pm1
 from cvsim_tpu.ops.phase import scanline_phase_xi
 from cvsim_tpu.ops.roll import roll_rows, select_by_phase
@@ -109,7 +117,7 @@ def _lowpass_plane(p, cutoff, delay, passes, dtype):
     """3-pass lowpass + delayed writeback on an int32 [B,L,W] plane
     (composite_lowpass inner loop, ffmpeg_ntsc.cpp:1445-1454)."""
     alpha = iir_alpha(NTSC_RATE, cutoff)
-    s = iir_lowpass_cascade(p.astype(dtype), alpha, 0.0, passes)
+    s = cascade_plain(p.astype(dtype), alpha, 0.0, passes)
     return delay_writeback(p, c_int(s).astype(jnp.int32), delay)
 
 
@@ -215,8 +223,7 @@ def chroma_from_luma(y, i, q, xi, subcarrier_amplitude_back: int):
 def composite_preemphasis_stage(y, pre_scale: float, pre_cut: float, dtype=jnp.float32):
     """Per-scanline 1-pole highpass emphasis (ffmpeg_ntsc.cpp:1613-1629)."""
     alpha = iir_alpha(NTSC_RATE, pre_cut)
-    s = y.astype(dtype)
-    s = s + iir_highpass(s, alpha, 16.0) * jnp.asarray(pre_scale, dtype)
+    s = cascade_emph(y.astype(dtype), alpha, 16.0, 0, pre_scale)
     return c_int(s).astype(jnp.int32)
 
 
@@ -335,16 +342,15 @@ def vhs_luma_lowpass(y, luma_cut: float, dtype=jnp.float32):
     """3-pass lowpass + same-cutoff highpass emphasis x1.6
     (ffmpeg_ntsc.cpp:1793-1812)."""
     alpha = iir_alpha(NTSC_RATE, luma_cut)
-    s = iir_lowpass_cascade(y.astype(dtype), alpha, 16.0, 3)
-    s = s + iir_highpass(s, alpha, 16.0) * jnp.asarray(1.6, dtype)
+    s = cascade_emph(y.astype(dtype), alpha, 16.0, 3, 1.6)
     return c_int(s).astype(jnp.int32)
 
 
 def vhs_chroma_lowpass(i, q, chroma_cut: float, chroma_delay: int, dtype=jnp.float32):
     """ffmpeg_ntsc.cpp:1814-1836 — gen-2 runs chroma at the full luma rate."""
     alpha = iir_alpha(NTSC_RATE, chroma_cut)
-    si = iir_lowpass_cascade(i.astype(dtype), alpha, 0.0, 3)
-    sq = iir_lowpass_cascade(q.astype(dtype), alpha, 0.0, 3)
+    si = cascade_plain(i.astype(dtype), alpha, 0.0, 3)
+    sq = cascade_plain(q.astype(dtype), alpha, 0.0, 3)
     i = delay_writeback(i, c_int(si).astype(jnp.int32), chroma_delay)
     q = delay_writeback(q, c_int(sq).astype(jnp.int32), chroma_delay)
     return i, q
@@ -374,9 +380,7 @@ def vhs_sharpen(y, luma_cut: float, sharpen: float, *, cut_mult: float = 4.0,
     sharpens chroma — see yuv422.py.)
     """
     alpha = iir_alpha(NTSC_RATE, luma_cut * cut_mult)
-    s = y.astype(dtype)
-    ts = iir_lowpass_cascade(s, alpha, y0, 3)
-    out = s + (s - ts) * jnp.asarray(sharpen * gain, dtype)
+    out = cascade_unsharp(y.astype(dtype), alpha, y0, 3, sharpen * gain)
     return c_int(out).astype(jnp.int32)
 
 

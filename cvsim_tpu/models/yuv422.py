@@ -22,7 +22,14 @@ import jax.numpy as jnp
 
 from cvsim_tpu.config import CompositeConfig, NTSC_RATE, NTSC_RATE_422, iir_alpha
 from cvsim_tpu.ops.cmath import c_div, c_int, clampu8
-from cvsim_tpu.ops.iir import delay_writeback, iir_highpass, iir_lowpass_cascade
+from cvsim_tpu.ops.iir import (
+    cascade_emph,
+    cascade_plain,
+    cascade_unsharp,
+    delay_writeback,
+    iir_highpass,
+    iir_lowpass_cascade,
+)
 from cvsim_tpu.ops.noise import smoothed_noise_walk, random_walk
 from cvsim_tpu.ops.phase import scanline_phase_xi
 from cvsim_tpu.models.yiq import (
@@ -47,7 +54,7 @@ def chroma_lowpass(u, v, *, ntsc: bool = True, dtype=jnp.float32):
         alpha_lp = iir_alpha(NTSC_RATE_422, cutoff)
         s = p.astype(dtype)
         s = s + iir_highpass(s, alpha_hp, 128.0)
-        s = iir_lowpass_cascade(s, alpha_lp, 128.0, 3)
+        s = cascade_plain(s, alpha_lp, 128.0, 3)
         return delay_writeback(p, _U8(s), delay)
 
     if ntsc:
@@ -65,7 +72,7 @@ def chroma_lowpass_lite(u, v, dtype=jnp.float32):
 
     def one(p):
         alpha = iir_alpha(NTSC_RATE_422, NTSC_RATE_422 / 4)
-        s = iir_lowpass_cascade(p.astype(dtype), alpha, 128.0, 3)
+        s = cascade_plain(p.astype(dtype), alpha, 128.0, 3)
         return delay_writeback(p, _U8(s), 1)
 
     return one(u), one(v)
@@ -129,8 +136,7 @@ def ntsc_to_yuv(y, u, v, xi, subcarrier_amplitude_back: int,
 def composite_preemphasis_stage(y, pre_scale: float, pre_cut: float, dtype=jnp.float32):
     """ffmpeg_to_composite.cpp:636-650."""
     alpha = iir_alpha(NTSC_RATE, pre_cut)
-    s = y.astype(dtype)
-    s = s + iir_highpass(s, alpha, 16.0) * jnp.asarray(pre_scale, dtype)
+    s = cascade_emph(y.astype(dtype), alpha, 16.0, 0, pre_scale)
     return _U8(s)
 
 
@@ -178,8 +184,7 @@ def chroma_dropout_stage(u, v, key, loss: int):
 def vhs_luma_lowpass(y, luma_cut: float, dtype=jnp.float32):
     """ffmpeg_to_composite.cpp:809-828."""
     alpha = iir_alpha(NTSC_RATE, luma_cut)
-    s = iir_lowpass_cascade(y.astype(dtype), alpha, 16.0, 3)
-    s = s + iir_highpass(s, alpha, 16.0) * jnp.asarray(1.6, dtype)
+    s = cascade_emph(y.astype(dtype), alpha, 16.0, 3, 1.6)
     return _U8(s)
 
 
@@ -188,7 +193,7 @@ def vhs_chroma_lowpass(u, v, chroma_cut: float, chroma_delay: int, dtype=jnp.flo
     alpha = iir_alpha(NTSC_RATE_422, chroma_cut)
 
     def one(p):
-        s = iir_lowpass_cascade(p.astype(dtype), alpha, 128.0, 3)
+        s = cascade_plain(p.astype(dtype), alpha, 128.0, 3)
         return delay_writeback(p, _U8(s), chroma_delay)
 
     return one(u), one(v)
@@ -215,9 +220,7 @@ def vhs_chroma_vert_blend(u, v, init: int = 128):
 def vhs_sharpen_luma(y, luma_cut: float, sharpen: float, dtype=jnp.float32):
     """ffmpeg_to_composite.cpp:882-898: unsharp vs 3-pass lowpass at 2x cut."""
     alpha = iir_alpha(NTSC_RATE, luma_cut * 2)
-    s = y.astype(dtype)
-    ts = iir_lowpass_cascade(s, alpha, 16.0, 3)
-    return _U8(s + (s - ts) * jnp.asarray(sharpen, dtype))
+    return _U8(cascade_unsharp(y.astype(dtype), alpha, 16.0, 3, sharpen))
 
 
 def vhs_sharpen_chroma(u, v, chroma_cut: float, sharpen: float, dtype=jnp.float32):
@@ -225,9 +228,7 @@ def vhs_sharpen_chroma(u, v, chroma_cut: float, sharpen: float, dtype=jnp.float3
     alpha = iir_alpha(NTSC_RATE_422, chroma_cut * 2)
 
     def one(p):
-        s = p.astype(dtype)
-        ts = iir_lowpass_cascade(s, alpha, 128.0, 3)
-        return _U8(s + (s - ts) * jnp.asarray(sharpen, dtype))
+        return _U8(cascade_unsharp(p.astype(dtype), alpha, 128.0, 3, sharpen))
 
     return one(u), one(v)
 

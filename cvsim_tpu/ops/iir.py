@@ -74,6 +74,55 @@ def iir_lowpass_cascade(x: jax.Array, alpha, y0, passes: int, axis: int = -1) ->
     return y
 
 
+def _pallas_ok(x) -> bool:
+    """Use the fused Pallas kernels when requested and supported (float32 on
+    TPU). Off by default: the remote-compile service in this dev environment
+    makes Pallas compiles minutes-long; flip CVSIM_PALLAS=1 for production
+    TPU hosts."""
+    import os
+
+    mode = os.environ.get("CVSIM_PALLAS", "0")
+    if mode != "1":
+        return False
+    return (jnp.asarray(x).dtype == jnp.float32
+            and jax.default_backend() == "tpu")
+
+
+def cascade_emph(x, alpha, y0, passes: int, gain: float):
+    """cascade(x) then s += highpass_alpha(s) * gain — the VHS-luma /
+    preemphasis stage shape (fused in one VMEM pass under CVSIM_PALLAS=1)."""
+    if _pallas_ok(x):
+        from cvsim_tpu.ops.pallas.fused_iir import fused_iir
+
+        return fused_iir(x, alphas=(float(alpha),) * (passes + 1),
+                         y0s=(float(y0),) * (passes + 1), mode="emph",
+                         gain=float(gain))
+    s = iir_lowpass_cascade(x, alpha, y0, passes)
+    return s + iir_highpass(s, alpha, y0) * jnp.asarray(gain, x.dtype)
+
+
+def cascade_unsharp(x, alpha, y0, passes: int, gain: float):
+    """x + (x - cascade(x)) * gain — the VHS sharpen stage shape."""
+    if _pallas_ok(x):
+        from cvsim_tpu.ops.pallas.fused_iir import fused_iir
+
+        return fused_iir(x, alphas=(float(alpha),) * passes,
+                         y0s=(float(y0),) * passes, mode="unsharp",
+                         gain=float(gain))
+    ts = iir_lowpass_cascade(x, alpha, y0, passes)
+    return x + (x - ts) * jnp.asarray(gain, x.dtype)
+
+
+def cascade_plain(x, alpha, y0, passes: int):
+    """Plain pole cascade, fused under CVSIM_PALLAS=1."""
+    if _pallas_ok(x):
+        from cvsim_tpu.ops.pallas.fused_iir import fused_iir
+
+        return fused_iir(x, alphas=(float(alpha),) * passes,
+                         y0s=(float(y0),) * passes)
+    return iir_lowpass_cascade(x, alpha, y0, passes)
+
+
 def iir_highpass(x: jax.Array, alpha, y0, axis: int = -1) -> jax.Array:
     """highpass = x - lowpass(x) (ffmpeg_to_composite.cpp:120-124)."""
     return x - iir_lowpass(x, alpha, y0, axis=axis)

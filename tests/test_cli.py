@@ -220,3 +220,58 @@ def test_raw28ntsc_cli(tmp_path):
     hdr, frames = read_all(out)
     assert len(frames) >= 1
     assert frames[0][0].max() > 100  # picture content recovered
+
+
+def test_interlaced_source_field_selection(tmp_path):
+    """Interlaced Y4M input ('It'): each output field must come from the
+    matching source field (pts_delta flip, ffmpeg_to_composite.cpp:1033-1048).
+    Top/bottom source fields carry distinct luma so mixing is detectable."""
+    hdr = y4m.Y4MHeader(width=W, height=480, fps=Fraction(30000, 1001),
+                        interlacing="t")
+    src = str(tmp_path / "in.y4m")
+    with open(src, "wb") as f:
+        wr = y4m.Y4MWriter(f, hdr)
+        for _ in range(2):
+            y = np.zeros((480, W), np.uint8)
+            y[0::2] = 60    # top field
+            y[1::2] = 190   # bottom field
+            u = np.full((240, W // 2), 128, np.uint8)
+            wr.write(y, u, u)
+    out = str(tmp_path / "out.y4m")
+    rc = main(["to-composite", "-i", src, "-o", out, "-width", str(W),
+               "-nocomp"])
+    assert rc == 0
+    _, frames = read_all(out)
+    # bob output: fields alternate; each output frame should be dominated by
+    # ONE source field's level, not a mix
+    means = [f[0].mean() for f in frames]
+    lo = sum(1 for m in means if m < 100)
+    hi = sum(1 for m in means if m > 150)
+    assert lo >= 1 and hi >= 1, means
+    assert lo + hi == len(means), means
+
+
+def test_bkey_feedback_cli(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    rc = main(["to-composite", "-i", src, "-o", out, "-width", str(W),
+               "-noise", "0", "-bkey-feedback", "20"])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) == 8
+
+
+def test_two_generation_dub(tmp_path):
+    """BASELINE config 4: VHS EP output re-processed (generation loss)."""
+    src = make_clip(str(tmp_path / "in.y4m"))
+    gen1 = str(tmp_path / "gen1.y4m")
+    gen2 = str(tmp_path / "gen2.y4m")
+    args = ["-width", str(W), "-vhs-speed", "ep", "-seed", "1", "-vi"]
+    assert main(["to-composite", "-i", src, "-o", gen1] + args) == 0
+    assert main(["to-composite", "-i", gen1, "-o", gen2] + args) == 0
+    _, f1 = read_all(gen1)
+    _, f2 = read_all(gen2)
+    assert len(f2) == len(f1)
+    # generation loss: second pass diverges further from the first
+    d = np.abs(f2[1][0].astype(int) - f1[1][0].astype(int)).mean()
+    assert d > 1.0
