@@ -80,25 +80,37 @@ class CompositePipeline:
 
     # ----------------------------------------------------------- video side
 
-    def _flush_batch(self, batch, writer, pending_interlace):
-        if not batch:
-            return
-        ys = jnp.stack([b[0] for b in batch])
-        us = jnp.stack([b[1] for b in batch])
-        vs = jnp.stack([b[2] for b in batch])
-        fieldnos = jnp.asarray([b[3] for b in batch], jnp.int32)
-        parities = jnp.asarray([b[4] for b in batch], jnp.int32)
-        self.key, sub = jax.random.split(self.key)
-        y, u, v, self._filter_planes = self._process_batch(
-            ys, us, vs, fieldnos, parities, sub, self._filter_planes)
-        y = np.asarray(y)
-        u = np.asarray(u)
-        v = np.asarray(v)
-        for k in range(len(batch)):
-            fieldno = int(batch[k][3])
-            parity = int(batch[k][4])
-            self._emit_field(y[k], u[k], v[k], fieldno, parity, writer,
-                             pending_interlace)
+    def _flush_batch(self, batch, writer, pending_interlace, final=False):
+        """Double-buffered: dispatch this batch asynchronously, then drain the
+        *previous* batch's device results while the device works — host
+        packing/encoding overlaps device compute."""
+        if batch:
+            ys = jnp.stack([b[0] for b in batch])
+            us = jnp.stack([b[1] for b in batch])
+            vs = jnp.stack([b[2] for b in batch])
+            fieldnos = jnp.asarray([b[3] for b in batch], jnp.int32)
+            parities = jnp.asarray([b[4] for b in batch], jnp.int32)
+            self.key, sub = jax.random.split(self.key)
+            y, u, v, self._filter_planes = self._process_batch(
+                ys, us, vs, fieldnos, parities, sub, self._filter_planes)
+            inflight = (y, u, v, [(int(b[3]), int(b[4])) for b in batch])
+        else:
+            inflight = None
+
+        prev = getattr(self, "_inflight", None)
+        self._inflight = inflight
+        for item in ((prev,) if not final else (prev, inflight)):
+            if item is None:
+                continue
+            y, u, v, meta = item
+            y = np.asarray(y)
+            u = np.asarray(u)
+            v = np.asarray(v)
+            for k, (fieldno, parity) in enumerate(meta):
+                self._emit_field(y[k], u[k], v[k], fieldno, parity, writer,
+                                 pending_interlace)
+        if final:
+            self._inflight = None
 
     def _emit_field(self, y, u, v, fieldno, parity, writer, pending):
         out = self.cfg.output
@@ -205,7 +217,7 @@ class CompositePipeline:
                 if len(batch) >= self.gop:
                     self._flush_batch(batch, writer, pending)
                     batch = []
-        self._flush_batch(batch, writer, pending)
+        self._flush_batch(batch, writer, pending, final=True)
         if self.progress:
             print("", file=sys.stderr)
         return video_field

@@ -71,16 +71,28 @@ class YIQPipeline:
 
         self._process_batch = process_batch
 
-    def _flush(self, batch, writer):
-        if not batch:
-            return
-        rgbs = jnp.stack([b[0] for b in batch])
-        fieldnos = jnp.asarray([b[1] for b in batch], jnp.int32)
-        parities = jnp.asarray([b[2] for b in batch], jnp.int32)
-        self.key, sub = jax.random.split(self.key)
-        out = np.asarray(self._process_batch(rgbs, fieldnos, parities, sub))
-        for k in range(len(batch)):
-            self._emit(out[k], int(batch[k][1]), writer)
+    def _flush(self, batch, writer, final=False):
+        """Double-buffered like CompositePipeline._flush_batch."""
+        if batch:
+            rgbs = jnp.stack([b[0] for b in batch])
+            fieldnos = jnp.asarray([b[1] for b in batch], jnp.int32)
+            parities = jnp.asarray([b[2] for b in batch], jnp.int32)
+            self.key, sub = jax.random.split(self.key)
+            out = self._process_batch(rgbs, fieldnos, parities, sub)
+            inflight = (out, [int(b[1]) for b in batch])
+        else:
+            inflight = None
+        prev = getattr(self, "_inflight", None)
+        self._inflight = inflight
+        for item in ((prev,) if not final else (prev, inflight)):
+            if item is None:
+                continue
+            out, metas = item
+            out = np.asarray(out)
+            for k, fieldno in enumerate(metas):
+                self._emit(out[k], fieldno, writer)
+        if final:
+            self._inflight = None
 
     def _emit(self, rgb_field, fieldno, writer):
         out = self.cfg.output
@@ -158,7 +170,7 @@ class YIQPipeline:
                 # drain remaining scheduled fields up to the last frame's due
                 if current >= max(next_at):
                     break
-        self._flush(batch, writer)
+        self._flush(batch, writer, final=True)
         if self.progress:
             print("", file=sys.stderr)
         return current

@@ -275,3 +275,14 @@ def test_two_generation_dub(tmp_path):
     # generation loss: second pass diverges further from the first
     d = np.abs(f2[1][0].astype(int) - f1[1][0].astype(int)).mean()
     assert d > 1.0
+
+
+def test_ntsc_multi_input(tmp_path):
+    a = make_clip(str(tmp_path / "a.y4m"), frames=3, seed=1)
+    b = make_clip(str(tmp_path / "b.y4m"), frames=3, seed=2)
+    out = str(tmp_path / "out.y4m")
+    rc = main(["ntsc", "-i", a, "-i", b, "-o", out, "-width", str(W),
+               "-noise", "0", "-d", "2"])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) >= 5

@@ -125,3 +125,17 @@ def test_nocolor_subcarrier_debug_taps():
     # chroma was neutralized at encode; the out-lowpass keeps it at 128
     assert np.abs(np.asarray(ou).astype(int) - 128).max() <= 1
     assert np.abs(np.asarray(ov).astype(int) - 128).max() <= 1
+
+
+def test_hd_1080_chain():
+    """BASELINE config 5 (stretch): the chain is raster-size agnostic —
+    1080p fields (540 lines x 1920 samples) run through the full VHS chain."""
+    cfg = CompositeConfig(emulating_vhs=True, vhs_head_switching=True,
+                          video_noise=4, video_chroma_noise=8,
+                          video_chroma_phase_noise=2, video_chroma_loss=4)
+    rng = np.random.default_rng(3)
+    rgb = jnp.asarray(rng.integers(0, 256, (2, 540, 1920, 3)), jnp.int32)
+    out = yiq.composite_layer_rgb(
+        rgb, jnp.array([0, 1], jnp.int32), jnp.array([0, 1], jnp.int32),
+        jax.random.PRNGKey(0), cfg=cfg)
+    assert np.asarray(out).shape == (2, 540, 1920, 3)
