@@ -44,6 +44,10 @@ def run(argv):
             kw["separate_chroma"] = False
         elif a == "showsc":
             kw["show_subcarrier"] = True
+        elif a == "color":
+            kw["decode_color"] = True   # beyond-reference: burst-locked QAM
+        elif a == "sat":
+            kw["saturation"] = float(argv[i]); i += 1
         elif a == "422":
             use_422 = True
         elif a == "420":
@@ -76,11 +80,27 @@ def run(argv):
                 break
             dec.feed(chunk)
             while True:
-                field = dec.decode_field()
-                if field is None:
+                result = dec.decode_field()
+                if result is None:
                     break
+                if dec.decode_color:
+                    field, uv = result
+                else:
+                    field, uv = result, None
                 frame = np.repeat(field, 2, axis=0)  # bob to full height
-                if use_422:
+                if uv is not None:
+                    u, v = uv
+                    cb = np.clip(128 + u * (224.0 / 255.0) / 1.772,
+                                 0, 255).astype(np.uint8)
+                    cr = np.clip(128 + v * (224.0 / 255.0) / 1.402,
+                                 0, 255).astype(np.uint8)
+                    cb = np.repeat(cb, 2, axis=0)
+                    cr = np.repeat(cr, 2, axis=0)
+                    if use_422:
+                        writer.write(frame, cb[:, 0::2], cr[:, 0::2])
+                    else:
+                        writer.write(frame, cb[0::2, 0::2], cr[0::2, 0::2])
+                elif use_422:
                     neutral = np.full((frame.shape[0], width // 2), 128, np.uint8)
                     writer.write(frame, neutral, neutral)
                 else:

@@ -85,11 +85,15 @@ class CompositePipeline:
         *previous* batch's device results while the device works — host
         packing/encoding overlaps device compute."""
         if batch:
-            ys = jnp.stack([b[0] for b in batch])
-            us = jnp.stack([b[1] for b in batch])
-            vs = jnp.stack([b[2] for b in batch])
-            fieldnos = jnp.asarray([b[3] for b in batch], jnp.int32)
-            parities = jnp.asarray([b[4] for b in batch], jnp.int32)
+            # pad short (final) batches to the GOP size so only one batch
+            # shape is ever compiled; padded fields are dropped on emit
+            n_real = len(batch)
+            padded = batch + [batch[-1]] * (self.gop - n_real)
+            ys = jnp.stack([b[0] for b in padded])
+            us = jnp.stack([b[1] for b in padded])
+            vs = jnp.stack([b[2] for b in padded])
+            fieldnos = jnp.asarray([b[3] for b in padded], jnp.int32)
+            parities = jnp.asarray([b[4] for b in padded], jnp.int32)
             self.key, sub = jax.random.split(self.key)
             y, u, v, self._filter_planes = self._process_batch(
                 ys, us, vs, fieldnos, parities, sub, self._filter_planes)

@@ -74,9 +74,11 @@ class YIQPipeline:
     def _flush(self, batch, writer, final=False):
         """Double-buffered like CompositePipeline._flush_batch."""
         if batch:
-            rgbs = jnp.stack([b[0] for b in batch])
-            fieldnos = jnp.asarray([b[1] for b in batch], jnp.int32)
-            parities = jnp.asarray([b[2] for b in batch], jnp.int32)
+            # pad short (final) batches to one stable compile shape
+            padded = batch + [batch[-1]] * (self.gop - len(batch))
+            rgbs = jnp.stack([b[0] for b in padded])
+            fieldnos = jnp.asarray([b[1] for b in padded], jnp.int32)
+            parities = jnp.asarray([b[2] for b in padded], jnp.int32)
             self.key, sub = jax.random.split(self.key)
             out = self._process_batch(rgbs, fieldnos, parities, sub)
             inflight = (out, [int(b[1]) for b in batch])

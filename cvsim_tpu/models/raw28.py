@@ -146,6 +146,52 @@ def relock_hsync(dc: np.ndarray, pos: int, window_back: int, raw_len: int,
 
 # ------------------------------------------------------------- device-side
 
+def _box8(a):
+    """Centered 8-tap moving average over the last axis (one subcarrier
+    cycle at 8x fsc) — cancels the carrier, keeps the baseband envelope."""
+    pad = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(4, 3)])
+    w = a.shape[-1]
+    sl = lambda o: jax.lax.dynamic_slice_in_dim(pad, o, w, axis=-1)
+    return sum(sl(k) for k in range(8)) * (1.0 / 8.0)
+
+
+def decode_color_lines(chroma, *, raw_len: int, width: int,
+                       burst_start: int, burst_len: int,
+                       saturation: float = 2.0):
+    """Burst-locked QAM color demodulation — an extension BEYOND the
+    reference, whose color decode is unfinished (ffmpeg_raw28ntsc.cpp
+    renders B/W; show_subcarrier at :767-768 is its only chroma output).
+
+    At 8x fsc the subcarrier advances exactly 45 degrees per sample, so
+    quadrature mixing is a static period-8 table. The colorburst window
+    gives the per-line reference phase; chroma is mixed down, box-filtered
+    over one cycle, and rotated into the burst frame. Returns (u, v) float
+    arrays [N, width] scaled so the burst amplitude maps to the standard
+    40 IRE burst (saturation tweaks the overall gain).
+    """
+    c = jnp.asarray(chroma, jnp.float32)
+    n = c.shape[0]
+    x8 = np.arange(c.shape[-1]) % 8
+    cos_t = jnp.asarray(np.cos(2 * np.pi * x8 / 8), jnp.float32)
+    sin_t = jnp.asarray(np.sin(2 * np.pi * x8 / 8), jnp.float32)
+
+    zr = _box8(c * cos_t)
+    zi = _box8(-c * sin_t)
+
+    # per-line burst phase + amplitude
+    br = jnp.mean(zr[:, burst_start:burst_start + burst_len], axis=-1)
+    bi = jnp.mean(zi[:, burst_start:burst_start + burst_len], axis=-1)
+    bnorm = jnp.sqrt(br * br + bi * bi) + 1e-6
+
+    # rotate into the burst frame: burst sits on the -U axis (NTSC), so the
+    # component along the burst vector is -U and the quadrature is +V
+    cr = (zr * br[:, None] + zi * bi[:, None]) / bnorm[:, None]
+    ci = (zi * br[:, None] - zr * bi[:, None]) / bnorm[:, None]
+    u = -cr * saturation
+    v = ci * saturation
+    return u[:, :width], v[:, :width], bnorm
+
+
 def decode_lines(
     raw_lines,            # int32 [N, L+24] gathered raw samples per line
     blank_level: float,
@@ -157,9 +203,11 @@ def decode_lines(
     separate_chroma: bool = True,
     show_subcarrier: bool = False,
     width: int = 720,
+    full_chroma: bool = False,
 ):
     """Equalization + Y/C separation for a batch of scanlines
-    (:706-779). Returns (luma uint8 [N, width], chroma int32 [N, width])."""
+    (:706-779). Returns (luma uint8 [N, width], chroma int32 [N, width] —
+    or [N, raw_len] with full_chroma=True for the color demodulator)."""
     x = jnp.asarray(raw_lines, jnp.int32)
 
     if equalize:
@@ -194,7 +242,8 @@ def decode_lines(
         out = chroma[:, :width] + 128
     else:
         out = luma[:, :width]
-    return jnp.clip(out, 0, 255).astype(jnp.uint8), chroma[:, :width]
+    ch = chroma if full_chroma else chroma[:, :width]
+    return jnp.clip(out, 0, 255).astype(jnp.uint8), ch
 
 
 class Raw28Decoder:
@@ -203,7 +252,8 @@ class Raw28Decoder:
     def __init__(self, sample_rate: float, width: int = 720,
                  height: int = 480, *, disable_sync: bool = False,
                  equalize: bool = True, wp_equalize: bool = True,
-                 separate_chroma: bool = True, show_subcarrier: bool = False):
+                 separate_chroma: bool = True, show_subcarrier: bool = False,
+                 decode_color: bool = False, saturation: float = 2.0):
         from cvsim_tpu.native import HsyncDcTracker
 
         self.t = RawTiming(sample_rate)
@@ -214,6 +264,8 @@ class Raw28Decoder:
         self.wp_equalize = wp_equalize
         self.separate_chroma = separate_chroma
         self.show_subcarrier = show_subcarrier
+        self.decode_color = decode_color
+        self.saturation = saturation
         self.agc = AGCState()
         self.tracker = HsyncDcTracker(
             sample_rate, self.t.one_scanline_time, self.t.one_frame_time)
@@ -278,16 +330,31 @@ class Raw28Decoder:
         idx = np.minimum(idx, len(self.raw) - 1)
         lines = self.raw[idx].astype(np.int32)
 
-        out, _ = decode_lines(
+        out, chroma = decode_lines(
             jnp.asarray(lines), self.agc.blank_level, self.agc.white_level,
             raw_len=rl, equalize=self.equalize, wp_equalize=self.wp_equalize,
             separate_chroma=self.separate_chroma,
-            show_subcarrier=self.show_subcarrier, width=self.width)
+            show_subcarrier=self.show_subcarrier, width=self.width,
+            full_chroma=self.decode_color)
         out = np.asarray(out)
+        uv = None
+        if self.decode_color and self.separate_chroma:
+            # burst window: just after the hsync pulse (breezeway + ~9
+            # subcarrier cycles); hsync is ~0.075H and line starts at the
+            # pulse center, so the burst sits around 0.045H..0.085H
+            bs = int(rl * 0.045)
+            bl = int(rl * 0.04)
+            u, v, _ = decode_color_lines(
+                chroma, raw_len=rl, width=self.width,
+                burst_start=bs, burst_len=bl, saturation=self.saturation)
+            uv = (np.asarray(u), np.asarray(v))
+            if n < self.height:
+                uv = tuple(np.pad(p, [(0, self.height - n), (0, 0)])
+                           for p in uv)
         if n < self.height:
             out = np.pad(out, [(0, self.height - n), (0, 0)])
 
         # advance at least 240 scanlines (:836-845)
         consumed = max(p, pos + rl * 240)
         self.pos = min(len(self.raw), consumed)
-        return out
+        return (out, uv) if self.decode_color else out

@@ -236,12 +236,12 @@ def video_noise_stage(y, key, mag: int, dtype=jnp.float32):
 
 
 def chroma_noise_stage(i, q, key, mag: int, dtype=jnp.float32):
-    """ffmpeg_ntsc.cpp:1718-1735 — independent walks on I and Q."""
+    """ffmpeg_ntsc.cpp:1718-1735 — independent walks on I and Q (computed as
+    one batched walk over [B, 2, L*W] to halve the scan passes)."""
     b, l, w = i.shape
-    ki, kq = jax.random.split(key)
-    wi = smoothed_noise_walk(ki, (b, l * w), mag, dtype=dtype).reshape(b, l, w)
-    wq = smoothed_noise_walk(kq, (b, l * w), mag, dtype=dtype).reshape(b, l, w)
-    return i + c_int(wi).astype(jnp.int32), q + c_int(wq).astype(jnp.int32)
+    wk = smoothed_noise_walk(key, (b, 2, l * w), mag, dtype=dtype)
+    wk = c_int(wk).astype(jnp.int32).reshape(b, 2, l, w)
+    return i + wk[:, 0], q + wk[:, 1]
 
 
 def chroma_phase_noise_stage(i, q, key, mag: int, gen1_bug: bool = False, dtype=jnp.float32):

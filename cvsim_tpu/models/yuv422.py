@@ -148,12 +148,11 @@ def video_noise_stage(y, key, mag: int, dtype=jnp.float32):
 
 
 def chroma_noise_stage(u, v, key, mag: int, dtype=jnp.float32):
-    """ffmpeg_to_composite.cpp:738-754."""
+    """ffmpeg_to_composite.cpp:738-754 (one batched walk for both planes)."""
     b, l, w2 = u.shape
-    ku, kv = jax.random.split(key)
-    wu = smoothed_noise_walk(ku, (b, l * w2), mag, dtype=dtype).reshape(b, l, w2)
-    wv = smoothed_noise_walk(kv, (b, l * w2), mag, dtype=dtype).reshape(b, l, w2)
-    return _U8(u + c_int(wu).astype(jnp.int32)), _U8(v + c_int(wv).astype(jnp.int32))
+    wk = smoothed_noise_walk(key, (b, 2, l * w2), mag, dtype=dtype)
+    wk = c_int(wk).astype(jnp.int32).reshape(b, 2, l, w2)
+    return _U8(u + wk[:, 0]), _U8(v + wk[:, 1])
 
 
 def chroma_phase_noise_stage(u, v, key, mag: int, dtype=jnp.float32):

@@ -286,3 +286,17 @@ def test_ntsc_multi_input(tmp_path):
     assert rc == 0
     _, frames = read_all(out)
     assert len(frames) >= 5
+
+
+def test_raw28ntsc_color_cli(tmp_path):
+    from tests.test_raw28 import synth_color_capture
+    raw = str(tmp_path / "cap.raw")
+    synth_color_capture(3).tofile(raw)
+    out = str(tmp_path / "tv.y4m")
+    rc = main(["raw28ntsc", "-i", raw, "-o", out, "-color"])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) >= 1
+    # chroma planes deviate from neutral in the colored region
+    u = frames[-1][1].astype(int)
+    assert np.abs(u[100, 150:300] - 128).mean() > 4

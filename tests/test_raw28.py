@@ -113,3 +113,59 @@ def test_vsync_hunt_on_synth():
     assert lock is not None
     # lock should land shortly after the 12 serration pulses
     assert lock < RL * 20
+
+
+def synth_color_capture(n_fields=3, u0=20.0, v0=-12.0, burst_amp=15.0):
+    """Synthetic capture with colorburst + constant (U,V) color. Carrier is
+    exactly 8 samples/cycle; phase is counted from the line start so the
+    burst and active color share one reference."""
+    out = []
+    hsync_len = int(RL * 0.09)
+    p = np.arange(RL)
+    cu = np.cos(2 * np.pi * p / 8)
+    sv = np.sin(2 * np.pi * p / 8)
+    bs, be = int(RL * 0.095), int(RL * 0.14)
+    a0 = int(RL * 0.18)
+    for _ in range(n_fields):
+        for _ in range(12):
+            half = np.full(RL // 2, BLANK, np.float64)
+            half[: int(RL * 0.05)] = SYNC_TIP
+            out.append(half)
+        for line in range(262):
+            row = np.full(RL, BLANK, np.float64)
+            row[:hsync_len] = SYNC_TIP
+            # burst on the -U axis
+            row[bs:be] += -burst_amp * cu[bs:be]
+            # active: mid luma + constant color
+            row[a0:RL - 8] = (BLANK + 80
+                              + u0 * cu[a0:RL - 8] + v0 * sv[a0:RL - 8])
+            out.append(row)
+    return np.clip(np.concatenate(out), 0, 255).astype(np.uint8)
+
+
+def test_color_decode_recovers_uv():
+    """Beyond-reference feature: burst-locked QAM color decode (the
+    reference's color path is unfinished; it renders B/W)."""
+    from cvsim_tpu.models.raw28 import Raw28Decoder
+
+    u0, v0 = 20.0, -12.0
+    dec = Raw28Decoder(RATE, width=720, height=240, decode_color=True)
+    dec.feed(synth_color_capture(4, u0=u0, v0=v0))
+    results = []
+    while True:
+        r = dec.decode_field()
+        if r is None:
+            break
+        results.append(r)
+    assert len(results) >= 2
+    luma, (u, v) = results[1]
+    # equalization scales raw units by 255/(white - blank)
+    scale = 255.0 / (dec.agc.white_level - dec.agc.blank_level)
+    mid_u = u[100, 450:650].mean()
+    mid_v = v[100, 450:650].mean()
+    exp_u, exp_v = u0 * scale, v0 * scale
+    assert abs(mid_u - exp_u) < 0.3 * abs(exp_u) + 3, (mid_u, exp_u)
+    assert abs(mid_v - exp_v) < 0.3 * abs(exp_v) + 3, (mid_v, exp_v)
+    # luma in the active area is flat (carrier cancelled)
+    act = luma[100, 450:650].astype(int)
+    assert act.std() < 6, act.std()
