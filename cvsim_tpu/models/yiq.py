@@ -194,7 +194,7 @@ def chroma_from_luma(y, i, q, xi, subcarrier_amplitude_back: int):
     # = roll_rows(chroma, xi)[x]; wrapped values are masked off by `valid`.
     xe = jnp.arange(w, dtype=jnp.int32)
     is_even = (xe & 1) == 0
-    r0 = roll_rows(chroma, xi)
+    r0 = roll_rows(chroma, xi, max_shift=3)
     gi = -r0
     gq = -jnp.roll(r0, -1, axis=-1)
     valid = select_by_phase(xi, _demux_valid_table(w)) != 0
@@ -320,12 +320,22 @@ def head_switching_stage(
 
     shifts = jax.vmap(lambda s, l0: _head_switch_shift_schedule(s, l0, l))(ishif, l_start)  # [B, L]
 
-    # Rotate each line within the padded twidth raster via a barrel shift
-    # (fill value baked into the padding), then crop back to the active width.
-    padded = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, twidth - w)],
-                     constant_values=fill)
-    rotated = roll_rows(padded, shifts)[..., :w]
-    return jnp.where(shifts[..., None] != 0, rotated, y)
+    # Only lines [l_start+1, l_start+~45] can have a nonzero shift (the 7/8
+    # integer decay reaches 0 in <45 steps), so rotate just a WIN-line window
+    # around the switch point instead of barrel-shifting the whole field.
+    win = min(64, l)
+    w0 = jnp.clip(l_start + 1, 0, l - win)  # [B]
+
+    def one_field(yf, sf, start):
+        zero = jnp.zeros((), start.dtype)
+        ywin = jax.lax.dynamic_slice(yf, (start, zero), (win, w))
+        swin = jax.lax.dynamic_slice(sf, (start,), (win,))
+        padded = jnp.pad(ywin, [(0, 0), (0, twidth - w)], constant_values=fill)
+        rotated = roll_rows(padded, swin)[..., :w]
+        rotated = jnp.where(swin[:, None] != 0, rotated, ywin)
+        return jax.lax.dynamic_update_slice(yf, rotated, (start, zero))
+
+    return jax.vmap(one_field)(y, shifts, w0)
 
 
 def chroma_dropout_stage(i, q, key, loss: int):

@@ -10,14 +10,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def roll_rows(a, shift, axis: int = -1):
+def roll_rows(a, shift, axis: int = -1, max_shift: int | None = None):
     """out[..., x] = a[..., (x + shift) mod W] with a per-row integer shift.
 
     a: [..., W]; shift: int array broadcastable to a.shape[:-1].
+    max_shift bounds the (already mod-W-reduced) shift values, trimming the
+    barrel-shifter passes: e.g. subcarrier phases need 2 passes, not log2(W).
     """
     w = a.shape[axis]
     s = jnp.mod(jnp.asarray(shift, jnp.int32), w)[..., None]
-    nbits = max(1, (w - 1).bit_length())
+    bound = (w - 1) if max_shift is None else min(max_shift, w - 1)
+    nbits = max(1, bound.bit_length())
     for b in range(nbits):
         bit = ((s >> b) & 1) == 1
         rolled = jnp.roll(a, -(1 << b), axis=axis)

@@ -300,3 +300,27 @@ def test_raw28ntsc_color_cli(tmp_path):
     # chroma planes deviate from neutral in the colored region
     u = frames[-1][1].astype(int)
     assert np.abs(u[100, 150:300] - 128).mean() > 4
+
+
+def test_to_composite_pal(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    rc = main(["to-composite", "-i", src, "-o", out, "-tvstd", "pal",
+               "-width", str(W), "-noise", "0"])
+    assert rc == 0
+    hdr, frames = read_all(out)
+    assert hdr.height == 576
+    assert hdr.fps == Fraction(50, 1)
+    # 4 frames at 29.97fps -> floor(4/29.97*50)=6 PAL fields
+    assert len(frames) == 6
+
+
+def test_to_composite_422_input_and_output(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"), colorspace="422")
+    out = str(tmp_path / "out.y4m")
+    rc = main(["to-composite", "-i", src, "-o", out, "-width", str(W),
+               "-422", "-noise", "0"])
+    assert rc == 0
+    hdr, frames = read_all(out)
+    assert hdr.colorspace == "422"
+    assert frames[0][1].shape == (480, W // 2)

@@ -116,3 +116,16 @@ def test_delay_writeback():
     np.testing.assert_array_equal(out[7:], [7, 8, 9])
     np.testing.assert_array_equal(
         np.asarray(delay_writeback(orig, filt, 0)), np.asarray(filt))
+
+
+def test_roll_rows_max_shift():
+    from cvsim_tpu.ops.roll import roll_rows
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.integers(0, 100, (4, 37)))
+    s = jnp.asarray([0, 1, 2, 3])
+    full = np.asarray(roll_rows(a, s))
+    trimmed = np.asarray(roll_rows(a, s, max_shift=3))
+    np.testing.assert_array_equal(full, trimmed)
+    for r in range(4):
+        np.testing.assert_array_equal(trimmed[r], np.roll(np.asarray(a)[r], -int(s[r])))
