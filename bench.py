@@ -70,7 +70,7 @@ def tpu_fields_per_sec() -> float:
     reduce_out = jax.jit(lambda o: o.astype(jnp.int32).sum())
 
     def run():
-        out = yiq.composite_layer_rgb(rgb, fieldno, parity, key, cfg=cfg)
+        out = yiq.composite_layer_rgb_auto(rgb, fieldno, parity, key, cfg=cfg)
         return int(reduce_out(out))
 
     t0 = time.time()

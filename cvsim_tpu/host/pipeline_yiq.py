@@ -65,7 +65,7 @@ class YIQPipeline:
         @jax.jit
         def process_batch(rgb_fields, fieldno, parity, key):
             if cfg.enable_composite_emulation:
-                return yiq.composite_layer_rgb(
+                return yiq.composite_layer_rgb_auto(
                     rgb_fields, fieldno, parity, key, cfg=ccfg, dtype=dtype)
             return rgb_fields.astype(jnp.uint8)
 

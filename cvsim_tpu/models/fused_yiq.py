@@ -1,0 +1,407 @@
+"""Whole-chain fused Pallas implementation of the gen-2 composite engine.
+
+The stage-by-stage XLA path (models/yiq.py) makes ~60 HBM passes per field;
+this implementation runs the same math as TWO Pallas kernels that keep a
+full field's planes resident in VMEM:
+
+  kernel A: RGB->YIQ, input chroma lowpass, QAM encode, composite
+            preemphasis, luma noise add          (outputs only Y — the QAM
+            encode zeroes I/Q, so nothing else crosses the boundary)
+  [XLA]   : VHS head switching (windowed rotation modulo twidth=W+W/10 —
+            a non-128-aligned modulus Mosaic handles poorly)
+  kernel B: Y/C separation + QAM decode, chroma AM/phase noise, VHS
+            bandlimit/vertical blend/sharpen/recombine, chroma dropout,
+            output chroma lowpass, YIQ->RGB
+
+Stochastic inputs (noise walks, phase angles, dropout masks, head-switch
+shifts) are precomputed outside with the exact key-split order of
+models/yiq.composite_layer, so both paths produce identical streams.
+
+All math matches ffmpeg_ntsc.cpp semantics (same citations as yiq.py);
+integer truncation is done in f32 (exact for the plane value ranges, which
+stay far below 2^24).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cvsim_tpu.config import CompositeConfig, NTSC_RATE, iir_alpha
+from cvsim_tpu.models import yiq
+from cvsim_tpu.ops.blocked_iir import _decay_consts
+from cvsim_tpu.ops.cmath import c_int
+from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk
+from cvsim_tpu.ops.phase import scanline_phase_xi
+
+BLOCK = 128
+
+
+# ----------------------------------------------------------- kernel helpers
+
+def _trunc(x):
+    return jnp.trunc(x)
+
+
+def _cdiv(a, b):
+    return jnp.trunc(a / b)
+
+
+def _pole(x, T_t, d, y0: float, nb: int):
+    """One causal pole over [L, nb*128] (VMEM-resident blocked matmul)."""
+    outs = []
+    carry = jnp.full((x.shape[0], 1), y0, x.dtype)
+    for b in range(nb):
+        xb = x[:, b * BLOCK:(b + 1) * BLOCK]
+        yb = jnp.dot(xb, T_t, preferred_element_type=x.dtype) + d * carry
+        carry = yb[:, BLOCK - 1:BLOCK]
+        outs.append(yb)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _pole3(x, T_t, d, y0: float, nb: int):
+    return _pole(_pole(_pole(x, T_t, d, y0, nb), T_t, d, y0, nb), T_t, d, y0, nb)
+
+
+def _iota_w(wp):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+
+
+def _lowpass_writeback(p, T_t, d, delay: int, w: int, wp: int, y0=0.0):
+    """3-pole cascade + the reference's delayed in-place writeback:
+    out[x] = trunc(f[x+delay]) for x < w-delay, original beyond."""
+    s = _trunc(_pole3(p, T_t, d, y0, wp // BLOCK))
+    shifted = jnp.roll(s, -delay, axis=-1) if delay else s
+    xw = _iota_w(wp)
+    out = jnp.where(xw < (w - delay), shifted, p)
+    return jnp.where(xw < w, out, 0.0)
+
+
+def _qam_multipliers(xi_col, wp):
+    sxi = (xi_col + _iota_w(wp)) & 3
+    um = jnp.where(sxi == 0, 1.0, jnp.where(sxi == 2, -1.0, 0.0))
+    vm = jnp.where(sxi == 1, 1.0, jnp.where(sxi == 3, -1.0, 0.0))
+    return um, vm
+
+
+def _qam_encode(y, i, q, xi_col, amp: int, wp: int):
+    um, vm = _qam_multipliers(xi_col, wp)
+    chroma = i * (amp * um) + q * (amp * vm)
+    return y + _cdiv(chroma, 50.0)
+
+
+def _roll2(a, shift_col):
+    """Barrel shift for shifts in [0, 4): out[x] = a[(x + s) mod Wp]."""
+    for b in range(2):
+        bit = ((shift_col >> b) & 1) == 1
+        a = jnp.where(bit, jnp.roll(a, -(1 << b), axis=-1), a)
+    return a
+
+
+def _qam_decode(y, xi_col, amp_back: int, w: int, wp: int):
+    """Y/C separation + demux (ffmpeg_ntsc.cpp:1497-1567) on VMEM arrays."""
+    xw = _iota_w(wp)
+    prev = jnp.where(xw == 0, 0.0, jnp.roll(y, 1, axis=-1))
+    # the reference's delay line zero-guards reads past the active width
+    # (c = Y[x+2] if x+2 < w else 0); the explicit masks also stop the
+    # cyclic rolls from wrapping when wp == w
+    nxt1 = jnp.where(xw + 1 < w, jnp.roll(y, -1, axis=-1), 0.0)
+    nxt2 = jnp.where(xw + 2 < w, jnp.roll(y, -2, axis=-1), 0.0)
+    new_y = _cdiv(prev + y + nxt1 + nxt2, 4.0)
+    chroma = nxt2 - new_y
+
+    x0 = (4 - xi_col) & 3
+    r = (xw - x0) & 3
+    base = xw - r
+    flip = (r >= 2) & (base >= x0) & ((base + 3) < w)
+    chroma = jnp.where(flip, -chroma, chroma)
+    chroma = _cdiv(chroma * 50.0, float(amp_back))
+
+    r0 = _roll2(chroma, xi_col)
+    gq = jnp.roll(r0, -1, axis=-1)
+    even = (xw & 1) == 0
+    valid = (xw + xi_col + 1) < w
+    i_e = jnp.where(even & valid, -r0, 0.0)
+    q_e = jnp.where(even & valid, -gq, 0.0)
+
+    def interp(p):
+        odd_val = jnp.floor(
+            (jnp.roll(p, 1, axis=-1) + jnp.roll(p, -1, axis=-1)) / 2.0)
+        out = jnp.where(even, p, odd_val)
+        tail_start = w - 2 if w % 2 == 0 else w - 1
+        return jnp.where(xw >= tail_start, 0.0, out)
+
+    new_y = jnp.where(xw < w, new_y, 0.0)
+    return new_y, interp(i_e), interp(q_e)
+
+
+# ------------------------------------------------------------------ kernels
+
+def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int):
+    nb = wp // BLOCK
+    amp = cfg.subcarrier_amplitude
+    do_pre = cfg.composite_preemphasis != 0 and cfg.composite_preemphasis_cut > 0
+    do_noise = cfg.video_noise != 0
+
+    def kernel(r_ref, g_ref, b_ref, xi_ref, noise_ref, tt_ref, d_ref, y_ref):
+        r = r_ref[0]
+        g = g_ref[0]
+        b = b_ref[0]
+        xw = _iota_w(wp)
+        active = xw < w
+        # RGB -> YIQ (x256 ints, trunc)
+        dy = 0.30 * r + 0.59 * g + 0.11 * b
+        y = _trunc(256.0 * dy)
+        i = _trunc(256.0 * ((-0.27 * (b - dy)) + (0.74 * (r - dy))))
+        q = _trunc(256.0 * ((0.41 * (b - dy)) + (0.48 * (r - dy))))
+        y = jnp.where(active, y, 0.0)
+        i = jnp.where(active, i, 0.0)
+        q = jnp.where(active, q, 0.0)
+
+        if cfg.composite_in_chroma_lowpass:
+            i = _lowpass_writeback(i, tt_ref[0], d_ref[0], 2, w, wp)
+            q = _lowpass_writeback(q, tt_ref[1], d_ref[1], 4, w, wp)
+
+        xi_col = xi_ref[0].astype(jnp.int32)
+        y = _qam_encode(y, i, q, xi_col, amp, wp)
+
+        if do_pre:
+            lp = _pole(y, tt_ref[2], d_ref[2], 16.0, nb)
+            y = _trunc(y + (y - lp) * cfg.composite_preemphasis)
+
+        if do_noise:
+            y = y + noise_ref[0]
+
+        y_ref[0] = jnp.where(active, y, 0.0)
+
+    return kernel
+
+
+def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int):
+    nb = wp // BLOCK
+    speed = cfg.vhs_tape_speed
+    do_cnoise = cfg.video_chroma_noise != 0
+    do_pnoise = cfg.video_chroma_phase_noise != 0
+    do_drop = cfg.video_chroma_loss != 0
+
+    def kernel(y_ref, xi_ref, cn_ref, sc_ref, drop_ref, tt_ref, d_ref,
+               r_ref, g_ref, b_ref):
+        xw = _iota_w(wp)
+        active = xw < w
+        y = y_ref[0]
+        xi_col = xi_ref[0].astype(jnp.int32)
+
+        if not cfg.nocolor_subcarrier:
+            y, i, q = _qam_decode(y, xi_col, cfg.subcarrier_amplitude_back, w, wp)
+        else:
+            i = jnp.zeros_like(y)
+            q = jnp.zeros_like(y)
+
+        if do_cnoise:
+            i = i + cn_ref[0, 0]
+            q = q + cn_ref[0, 1]
+
+        if do_pnoise:
+            sin_a = sc_ref[0, :, 0:1]
+            cos_a = sc_ref[0, :, 1:2]
+            if cfg.chroma_phase_noise_gen1_bug:
+                i2 = i * cos_a - i * sin_a
+                q2 = q * cos_a + q * sin_a
+            else:
+                i2 = i * cos_a - q * sin_a
+                q2 = i * sin_a + q * cos_a
+            i = _trunc(i2)
+            q = _trunc(q2)
+
+        if cfg.emulating_vhs:
+            # luma bandlimit + emphasis
+            s = _pole3(y, tt_ref[3], d_ref[3], 16.0, nb)
+            lp = _pole(s, tt_ref[3], d_ref[3], 16.0, nb)
+            y = jnp.where(active, _trunc(s + (s - lp) * 1.6), 0.0)
+            # chroma bandlimit with delayed writeback
+            i = _lowpass_writeback(i, tt_ref[4], d_ref[4],
+                                   speed.chroma_delay_gen2, w, wp)
+            q = _lowpass_writeback(q, tt_ref[4], d_ref[4],
+                                   speed.chroma_delay_gen2, w, wp)
+            if cfg.vhs_chroma_vert_blend and cfg.ntsc:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (i.shape[0], 1), 0)
+
+                def vblend(p):
+                    prev = jnp.roll(p, 1, axis=0)
+                    prev = jnp.where(rows == 1, 0.0, prev)
+                    blended = jnp.floor((prev + p + 1.0) / 2.0)
+                    return jnp.where(rows == 0, p, blended)
+                i = vblend(i)
+                q = vblend(q)
+            # sharpen (x4 cutoff, gain x2, reset 0)
+            ts = _pole3(y, tt_ref[5], d_ref[5], 0.0, nb)
+            y = jnp.where(active,
+                          _trunc(y + (y - ts) * (cfg.vhs_out_sharpen * 2.0)),
+                          0.0)
+            if not cfg.vhs_svideo_out:
+                y = _qam_encode(y, i, q, xi_col, cfg.subcarrier_amplitude, wp)
+                y, i, q = _qam_decode(y, xi_col, cfg.subcarrier_amplitude, w, wp)
+
+        if do_drop:
+            keep = drop_ref[0]
+            i = i * keep
+            q = q * keep
+
+        for _ in range(cfg.video_yc_recombine):
+            y = _qam_encode(y, i, q, xi_col, cfg.subcarrier_amplitude, wp)
+            y, i, q = _qam_decode(y, xi_col, cfg.subcarrier_amplitude, w, wp)
+
+        if cfg.composite_out_chroma_lowpass:
+            if cfg.composite_out_chroma_lowpass_lite:
+                i = _lowpass_writeback(i, tt_ref[6], d_ref[6], 1, w, wp)
+                q = _lowpass_writeback(q, tt_ref[6], d_ref[6], 1, w, wp)
+            else:
+                i = _lowpass_writeback(i, tt_ref[0], d_ref[0], 2, w, wp)
+                q = _lowpass_writeback(q, tt_ref[1], d_ref[1], 4, w, wp)
+
+        # YIQ -> RGB
+        r = _trunc((1.000 * y + 0.956 * i + 0.621 * q) / 256.0)
+        g = _trunc((1.000 * y - 0.272 * i - 0.647 * q) / 256.0)
+        b = _trunc((1.000 * y - 1.106 * i + 1.703 * q) / 256.0)
+        r_ref[0] = jnp.clip(r, 0.0, 255.0)
+        g_ref[0] = jnp.clip(g, 0.0, 255.0)
+        b_ref[0] = jnp.clip(b, 0.0, 255.0)
+
+    return kernel
+
+
+# ---------------------------------------------------------------- dispatcher
+
+def _alpha_consts(cfg: CompositeConfig):
+    """Stacked decay constants: rows are
+    0: in/out I 1.3MHz, 1: in/out Q 0.6MHz, 2: preemphasis cut,
+    3: VHS luma cut, 4: VHS chroma cut, 5: VHS sharpen (4x luma cut),
+    6: out 'tv' 2.6MHz."""
+    speed = cfg.vhs_tape_speed
+    cuts = [1300000.0, 600000.0,
+            max(cfg.composite_preemphasis_cut, 1.0),
+            speed.luma_cut, speed.chroma_cut, speed.luma_cut * 4.0,
+            2600000.0]
+    tts, ds = [], []
+    for c in cuts:
+        T, d, _pk = _decay_consts(float(iir_alpha(NTSC_RATE, c)), BLOCK, "float32")
+        tts.append(T.T.copy())
+        ds.append(d)
+    return np.stack(tts), np.stack(ds)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def composite_layer_rgb_fused(
+    rgb, fieldno, field_parity, key, *,
+    cfg: CompositeConfig, interpret: bool = False,
+):
+    """Drop-in twin of yiq.composite_layer_rgb running on the fused kernels.
+    Identical RNG stream consumption; f32 math (production dtype)."""
+    rgb = jnp.asarray(rgb, jnp.int32)
+    b, l, w, _ = rgb.shape
+    nb = -(-w // BLOCK)
+    wp = nb * BLOCK
+    dtype = jnp.float32
+
+    xi = scanline_phase_xi(
+        fieldno, field_parity, l,
+        cfg.video_scanline_phase_shift, cfg.video_scanline_phase_shift_offset,
+        cfg.ntsc, gen1=False)
+    keys = jax.random.split(key, 6)
+
+    # --- precomputed stochastic inputs (same streams as composite_layer) ---
+    if cfg.video_noise != 0:
+        vwalk = c_int(smoothed_noise_walk(
+            keys[0], (b, l * w), cfg.video_noise, dtype=dtype)).reshape(b, l, w)
+    else:
+        vwalk = jnp.zeros((b, l, w), dtype)
+    if cfg.video_chroma_noise != 0:
+        cwalk = c_int(smoothed_noise_walk(
+            keys[2], (b, 2, l * w), cfg.video_chroma_noise,
+            dtype=dtype)).reshape(b, 2, l, w)
+    else:
+        cwalk = jnp.zeros((b, 2, l, w), dtype)
+    if cfg.video_chroma_phase_noise != 0:
+        pwalk = random_walk(keys[3], (b, l), cfg.video_chroma_phase_noise,
+                            dtype=dtype)
+        ang = c_int(pwalk) * jnp.asarray(jnp.pi / 100.0, dtype)
+        sincos = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [B, L, 2]
+    else:
+        zeros = jnp.zeros((b, l), dtype)
+        sincos = jnp.stack([zeros, zeros + 1.0], axis=-1)
+    if cfg.video_chroma_loss != 0:
+        rr = jax.random.randint(keys[4], (b, l), 0, 100000)
+        keep = (rr >= cfg.video_chroma_loss).astype(dtype)[..., None]  # [B,L,1]
+    else:
+        keep = jnp.ones((b, l, 1), dtype)
+
+    tt_np, d_np = _alpha_consts(cfg)
+    tts = jnp.asarray(tt_np)
+    ds = jnp.asarray(d_np)
+
+    def padw(a, fill=0.0):
+        return jnp.concatenate(
+            [a, jnp.full(a.shape[:-1] + (wp - w,), fill, a.dtype)], axis=-1) \
+            if wp != w else a
+
+    rf = padw(rgb[..., 0].astype(dtype))
+    gf = padw(rgb[..., 1].astype(dtype))
+    bf = padw(rgb[..., 2].astype(dtype))
+    vwalk_p = padw(vwalk)
+    cwalk_p = padw(cwalk)
+    xi_col = xi[..., None].astype(jnp.float32)  # [B, L, 1] (VMEM-friendly)
+
+    specs3 = lambda: pl.BlockSpec((1, l, wp), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    spec_col = pl.BlockSpec((1, l, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_sc = pl.BlockSpec((1, l, 2), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_tt = pl.BlockSpec((7, BLOCK, BLOCK), lambda i: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec((7, BLOCK), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+
+    kernel_a = _make_kernel_a(cfg, w, wp)
+
+    y_enc = pl.pallas_call(
+        kernel_a,
+        out_shape=jax.ShapeDtypeStruct((b, l, wp), dtype),
+        grid=(b,),
+        in_specs=[specs3(), specs3(), specs3(), spec_col, specs3(),
+                  spec_tt, spec_d],
+        out_specs=specs3(),
+        interpret=interpret,
+    )(rf, gf, bf, xi_col, vwalk_p, tts, ds)
+
+    # head switching on the encoded luma (XLA, windowed)
+    if cfg.vhs_head_switching:
+        y_hs = yiq.head_switching_stage(
+            y_enc[..., :w].astype(jnp.int32), field_parity, keys[1],
+            point=cfg.vhs_head_switching_point,
+            phase=cfg.vhs_head_switching_phase,
+            phase_noise=cfg.vhs_head_switching_phase_noise,
+            ntsc=cfg.ntsc, fill=0, dtype=dtype)
+        y_enc = padw(y_hs.astype(dtype))
+
+    kernel_b = _make_kernel_b(cfg, w, wp)
+
+    spec_cn = pl.BlockSpec((1, 2, l, wp), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    r_o, g_o, b_o = pl.pallas_call(
+        kernel_b,
+        out_shape=(jax.ShapeDtypeStruct((b, l, wp), dtype),) * 3,
+        grid=(b,),
+        in_specs=[specs3(), spec_col, spec_cn, spec_sc, spec_col,
+                  spec_tt, spec_d],
+        out_specs=(specs3(),) * 3,
+        interpret=interpret,
+    )(y_enc, xi_col, cwalk_p, sincos, keep, tts, ds)
+
+    out = jnp.stack([r_o[..., :w], g_o[..., :w], b_o[..., :w]], axis=-1)
+    return out.astype(jnp.uint8)

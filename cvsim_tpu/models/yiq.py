@@ -490,3 +490,20 @@ def composite_layer_rgb(
         key=key, dtype=dtype)
     r, g, b = yiq_to_rgb(y, i, q, dtype)
     return jnp.stack([r, g, b], axis=-1).astype(jnp.uint8)
+
+
+def composite_layer_rgb_auto(rgb, fieldno, field_parity, key, *,
+                             cfg: CompositeConfig, dtype=jnp.float32):
+    """Backend dispatch: the fused two-kernel Pallas chain on TPU (1.6x the
+    stage-by-stage XLA path, bit-identical output — tests/test_fused_chain),
+    the XLA path elsewhere (CPU tests, GSPMD-sharded meshes)."""
+    import os
+
+    if (dtype == jnp.float32 and jax.default_backend() == "tpu"
+            and os.environ.get("CVSIM_FUSED", "1") == "1"):
+        from cvsim_tpu.models.fused_yiq import composite_layer_rgb_fused
+
+        return composite_layer_rgb_fused(
+            rgb, fieldno, field_parity, key, cfg=cfg)
+    return composite_layer_rgb(rgb, fieldno, field_parity, key,
+                               cfg=cfg, dtype=dtype)
