@@ -315,17 +315,37 @@ def composite_layer_rgb_fused(
     keys = jax.random.split(key, 6)
 
     # --- precomputed stochastic inputs (same streams as composite_layer) ---
-    if cfg.video_noise != 0:
-        vwalk = c_int(smoothed_noise_walk(
-            keys[0], (b, l * w), cfg.video_noise, dtype=dtype)).reshape(b, l, w)
+    # The three big walks share one blocked-IIR pass: per-row math is
+    # identical to separate calls (the scan axis is the last one), so the
+    # streams stay bit-equal to the stage-by-stage path.
+    if cfg.video_noise != 0 and cfg.video_chroma_noise != 0:
+        uv = jax.random.randint(
+            keys[0], (b, 1, l * w), -cfg.video_noise,
+            cfg.video_noise + 1).astype(dtype)
+        uc = jax.random.randint(
+            keys[2], (b, 2, l * w), -cfg.video_chroma_noise,
+            cfg.video_chroma_noise + 1).astype(dtype)
+        u_all = jnp.concatenate([uv, uc], axis=1)
+        from cvsim_tpu.ops.iir import iir_lowpass
+
+        post = iir_lowpass(u_all, 0.5, 0.0)
+        walk = c_int(jnp.concatenate(
+            [jnp.zeros((b, 3, 1), dtype), post[..., :-1]], axis=-1))
+        vwalk = walk[:, 0].reshape(b, l, w)
+        cwalk = walk[:, 1:].reshape(b, 2, l, w)
     else:
-        vwalk = jnp.zeros((b, l, w), dtype)
-    if cfg.video_chroma_noise != 0:
-        cwalk = c_int(smoothed_noise_walk(
-            keys[2], (b, 2, l * w), cfg.video_chroma_noise,
-            dtype=dtype)).reshape(b, 2, l, w)
-    else:
-        cwalk = jnp.zeros((b, 2, l, w), dtype)
+        if cfg.video_noise != 0:
+            vwalk = c_int(smoothed_noise_walk(
+                keys[0], (b, l * w), cfg.video_noise,
+                dtype=dtype)).reshape(b, l, w)
+        else:
+            vwalk = jnp.zeros((b, l, w), dtype)
+        if cfg.video_chroma_noise != 0:
+            cwalk = c_int(smoothed_noise_walk(
+                keys[2], (b, 2, l * w), cfg.video_chroma_noise,
+                dtype=dtype)).reshape(b, 2, l, w)
+        else:
+            cwalk = jnp.zeros((b, 2, l, w), dtype)
     if cfg.video_chroma_phase_noise != 0:
         pwalk = random_walk(keys[3], (b, l), cfg.video_chroma_phase_noise,
                             dtype=dtype)
