@@ -71,9 +71,8 @@ class CompositePipeline:
                 (y, u, v), filter_planes = _bkey_scan(
                     y, u, v, *filter_planes, bkey)
             if cfg.enable_composite_emulation:
-                y, u, v = yuv422.composite_video_process(
-                    y, u, v, cfg=ccfg, fieldno=fieldno, field_parity=parity,
-                    key=key, dtype=dtype)
+                y, u, v = yuv422.composite_video_process_auto(
+                    y, u, v, fieldno, parity, key, cfg=ccfg, dtype=dtype)
             return y, u, v, filter_planes
 
         self._process_batch = process_batch

@@ -1,0 +1,430 @@
+"""Whole-chain fused Pallas implementation of the gen-1 YUV 4:2:2 engine
+(ffmpeg_to_composite.cpp) — the sibling of models/fused_yiq.py.
+
+Same two-kernel split at the head switch. Gen-1 particulars handled here:
+- u8 quantization (clampu8) at every reference writeback point
+- chroma planes at half width, filtered at the 4:2:2 rate; the stride-2
+  half<->full conversions run as 0/1 selection-matrix matmuls (Mosaic has
+  no strided slicing; a [768, 384] pick matrix on the MXU is cheap)
+- decode pads are luma black (16), not 0
+- the chroma sharpen stage and the gen-1 chroma-phase rotation bug
+- out-lowpass 'full' uses the ringing highpass + 3-pole shape
+
+The debug taps (-nocolor-subcarrier[-after-yc-sep]) fall back to the
+stage-by-stage XLA path (models/yuv422.py) via the auto dispatcher.
+Bit-exact with the XLA path (tests/test_fused_chain.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cvsim_tpu.config import (
+    CompositeConfig,
+    NTSC_RATE,
+    NTSC_RATE_422,
+    iir_alpha,
+)
+from cvsim_tpu.models import yuv422, yiq as yiq_mod
+from cvsim_tpu.models.fused_yiq import _pole, _pole3, _iota_w, _trunc, _cdiv
+from cvsim_tpu.ops.blocked_iir import _decay_consts
+from cvsim_tpu.ops.cmath import c_int
+from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk
+from cvsim_tpu.ops.phase import scanline_phase_xi
+
+BLOCK = 128
+
+
+def _u8(x):
+    return jnp.clip(jnp.trunc(x), 0.0, 255.0)
+
+
+@functools.lru_cache(maxsize=8)
+def _pick_matrices(wp: int, wp2: int):
+    """E_down [wp, wp2] picks even samples (half @ full); E_up [wp2, wp]
+    replicates each half-width sample twice."""
+    k = min(wp2, wp // 2)   # half-width pad columns beyond wp/2 stay zero
+    j = np.arange(k)
+    e_down = np.zeros((wp, wp2), np.float32)
+    e_down[j * 2, j] = 1.0
+    e_up = np.zeros((wp2, wp), np.float32)
+    e_up[j, j * 2] = 1.0
+    e_up[j, j * 2 + 1] = 1.0
+    return e_down, e_up
+
+
+def _down(full, ed):
+    return jnp.dot(full, ed, preferred_element_type=full.dtype)
+
+
+def _up(half, eu):
+    return jnp.dot(half, eu, preferred_element_type=half.dtype)
+
+
+def _chroma_lowpass_full(p, tt_hp, d_hp, tt_lp, d_lp, delay, w2, wp2):
+    """Gen-1 chroma lowpass: s = p + highpass_{cut/2}(p) then 3 lowpasses,
+    clampu8 delayed writeback (ffmpeg_to_composite.cpp:353-393)."""
+    nb = wp2 // BLOCK
+    s = 2.0 * p - _pole(p, tt_hp, d_hp, 128.0, nb)
+    s = _u8(_pole3(s, tt_lp, d_lp, 128.0, nb))
+    shifted = jnp.roll(s, -delay, axis=-1) if delay else s
+    xw = _iota_w(wp2)
+    out = jnp.where(xw < (w2 - delay), shifted, p)
+    return jnp.where(xw < w2, out, 0.0)
+
+
+def _chroma_lowpass_lite(p, tt, d, w2, wp2):
+    nb = wp2 // BLOCK
+    s = _u8(_pole3(p, tt, d, 128.0, nb))
+    shifted = jnp.roll(s, -1, axis=-1)
+    xw = _iota_w(wp2)
+    out = jnp.where(xw < (w2 - 1), shifted, p)
+    return jnp.where(xw < w2, out, 0.0)
+
+
+def _qam_encode_u8(y, u, v, xi_col, amp: int, eu, w: int, wp: int):
+    """yuv_to_ntsc (ffmpeg_to_composite.cpp:434-477): 4:2:2 chroma repeated
+    to full width, clampu8 luma writeback."""
+    u2 = _up(u, eu) - 128.0
+    v2 = _up(v, eu) - 128.0
+    sxi = (xi_col + _iota_w(wp)) & 3
+    um = jnp.where(sxi == 0, 1.0, jnp.where(sxi == 2, -1.0, 0.0))
+    vm = jnp.where(sxi == 1, 1.0, jnp.where(sxi == 3, -1.0, 0.0))
+    chroma = u2 * (amp * um) + v2 * (amp * vm)
+    out = _u8(y + _cdiv(chroma, 50.0))
+    return jnp.where(_iota_w(wp) < w, out, 0.0)
+
+
+def _qam_decode_u8(y, xi_col, amp_back: int, ed, w: int, wp: int):
+    """ntsc_to_yuv (ffmpeg_to_composite.cpp:480-553): box blur with
+    16-precharge, 255-c sign flip, biased rescale, phase-swapped demux."""
+    xw = _iota_w(wp)
+    prev = jnp.where(xw == 0, 16.0, jnp.roll(y, 1, axis=-1))
+    nxt1 = jnp.where(xw + 1 < w, jnp.roll(y, -1, axis=-1), 16.0)
+    nxt2 = jnp.where(xw + 2 < w, jnp.roll(y, -2, axis=-1), 16.0)
+    new_y = jnp.floor((prev + y + nxt1 + nxt2) / 4.0)  # positive sums
+    chroma = _u8(nxt2 + 128.0 - new_y)
+
+    x0 = (4 - xi_col) & 3
+    r = (xw - x0) & 3
+    flip = (r >= 2) & ((xw - r) >= x0)
+    chroma = jnp.where(flip, 255.0 - chroma, chroma)
+    chroma = _u8(_cdiv((chroma - 128.0) * 50.0, float(amp_back)) + 128.0)
+
+    ce = _down(chroma, ed)
+    co = _down(jnp.roll(chroma, -1, axis=-1), ed)
+    odd_phase = (xi_col & 1) == 1
+    new_u = jnp.where(odd_phase, 255.0 - co, 255.0 - ce)
+    new_v = jnp.where(odd_phase, 255.0 - ce, 255.0 - co)
+    new_y = jnp.where(xw < w, new_y, 0.0)
+    w2 = w // 2
+    xw2 = _iota_w(ed.shape[1])
+    return (new_y, jnp.where(xw2 < w2, new_u, 0.0),
+            jnp.where(xw2 < w2, new_v, 0.0))
+
+
+# ------------------------------------------------------------------ kernels
+
+def _alpha_consts_gen1(cfg: CompositeConfig):
+    """Rows:
+    0: in U cut (1.3MHz@422)         1: in U cut/2 highpass
+    2: in V cut (0.6/1.3MHz@422)     3: in V cut/2 highpass
+    4: preemphasis cut (@4fsc)       5: VHS luma cut (@4fsc)
+    6: VHS chroma cut (@422)         7: sharpen luma 2x cut (@4fsc)
+    8: sharpen chroma 2x cut (@422)  9: out-lite rate/4 (@422)"""
+    u_cut = 1300000.0
+    v_cut = 600000.0 if cfg.ntsc else 1300000.0
+    speed = cfg.vhs_tape_speed
+    specs = [
+        (NTSC_RATE_422, u_cut), (NTSC_RATE_422, u_cut / 2),
+        (NTSC_RATE_422, v_cut), (NTSC_RATE_422, v_cut / 2),
+        (NTSC_RATE, max(cfg.composite_preemphasis_cut, 1.0)),
+        (NTSC_RATE, speed.luma_cut),
+        (NTSC_RATE_422, speed.chroma_cut),
+        (NTSC_RATE, speed.luma_cut * 2),
+        (NTSC_RATE_422, speed.chroma_cut * 2),
+        (NTSC_RATE_422, NTSC_RATE_422 / 4),
+    ]
+    tts, ds = [], []
+    for rate, cut in specs:
+        T, d, _pk = _decay_consts(float(iir_alpha(rate, cut)), BLOCK, "float32")
+        tts.append(T.T.copy())
+        ds.append(d)
+    return np.stack(tts), np.stack(ds)
+
+
+def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
+    nb = wp // BLOCK
+    do_pre = cfg.composite_preemphasis != 0 and cfg.composite_preemphasis_cut > 0
+    do_noise = cfg.video_noise != 0
+    ed_np, eu_np = _pick_matrices(wp, wp2)
+
+    def kernel(y_ref, u_ref, v_ref, xi_ref, noise_ref, tt_ref, d_ref,
+               eu_ref, y_out):
+        y = y_ref[0]
+        u = u_ref[0]
+        v = v_ref[0]
+        xi_col = xi_ref[0].astype(jnp.int32)
+
+        if cfg.composite_in_chroma_lowpass:
+            u_delay = 2
+            v_delay = 4 if cfg.ntsc else 2
+            u = _chroma_lowpass_full(u, tt_ref[1], d_ref[1],
+                                     tt_ref[0], d_ref[0], u_delay, w2, wp2)
+            v = _chroma_lowpass_full(v, tt_ref[3], d_ref[3],
+                                     tt_ref[2], d_ref[2], v_delay, w2, wp2)
+
+        y = _qam_encode_u8(y, u, v, xi_col, cfg.subcarrier_amplitude,
+                           eu_ref[...], w, wp)
+
+        if do_pre:
+            lp = _pole(y, tt_ref[4], d_ref[4], 16.0, nb)
+            y = _u8(y + (y - lp) * cfg.composite_preemphasis)
+
+        if do_noise:
+            y = _u8(y + noise_ref[0])
+
+        y_out[0] = jnp.where(_iota_w(wp) < w, y, 0.0)
+
+    return kernel
+
+
+def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
+    nb = wp // BLOCK
+    nb2 = wp2 // BLOCK
+    speed = cfg.vhs_tape_speed
+    do_cnoise = cfg.video_chroma_noise != 0
+    do_pnoise = cfg.video_chroma_phase_noise != 0
+    do_drop = cfg.video_chroma_loss != 0
+
+    def kernel(y_ref, xi_ref, cn_ref, sc_ref, drop_ref, tt_ref, d_ref,
+               ed_ref, eu_ref, y_out, u_out, v_out):
+        y = y_ref[0]
+        xi_col = xi_ref[0].astype(jnp.int32)
+        ed = ed_ref[...]
+        eu = eu_ref[...]
+
+        y, u, v = _qam_decode_u8(y, xi_col, cfg.subcarrier_amplitude_back,
+                                 ed, w, wp)
+
+        if do_cnoise:
+            u = _u8(u + cn_ref[0, 0])
+            v = _u8(v + cn_ref[0, 1])
+
+        if do_pnoise:
+            sin_a = sc_ref[0, :, 0:1]
+            cos_a = sc_ref[0, :, 1:2]
+            uu = u - 128.0
+            vv = v - 128.0
+            # gen-1 rotation-matrix bug (ffmpeg_to_composite.cpp:772)
+            u = _u8(uu * cos_a - uu * sin_a + 128.0)
+            v = _u8(vv * cos_a + vv * sin_a + 128.0)
+
+        if cfg.emulating_vhs:
+            # luma: 3 lowpasses then emphasis vs a 4th same-cut pole
+            t = _pole3(y, tt_ref[5], d_ref[5], 16.0, nb)
+            lp = _pole(t, tt_ref[5], d_ref[5], 16.0, nb)
+            y = jnp.where(_iota_w(wp) < w, _u8(t + (t - lp) * 1.6), 0.0)
+            # chroma: 3 lowpasses @422 rate, clampu8 delayed writeback
+            cd = speed.chroma_delay_gen1
+            xw2 = _iota_w(wp2)
+
+            def chroma_lp(p):
+                sflt = _u8(_pole3(p, tt_ref[6], d_ref[6], 128.0, nb2))
+                shifted = jnp.roll(sflt, -cd, axis=-1)
+                out = jnp.where(xw2 < (w2 - cd), shifted, p)
+                return jnp.where(xw2 < w2, out, 0.0)
+
+            u = chroma_lp(u)
+            v = chroma_lp(v)
+            if cfg.vhs_chroma_vert_blend and cfg.ntsc:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], 1), 0)
+
+                def vblend(p):
+                    prev = jnp.roll(p, 1, axis=0)
+                    prev = jnp.where(rows == 1, 128.0, prev)
+                    blended = jnp.floor((prev + p + 1.0) / 2.0)
+                    blended = jnp.where(rows == 0, p, blended)
+                    return jnp.where(xw2 < w2, blended, 0.0)
+
+                u = vblend(u)
+                v = vblend(v)
+            # sharpen: luma x1.5 at 2x cut, chroma x0.85 at 2x cut
+            ts = _pole3(y, tt_ref[7], d_ref[7], 16.0, nb)
+            y = jnp.where(_iota_w(wp) < w,
+                          _u8(y + (y - ts) * cfg.vhs_out_sharpen), 0.0)
+
+            def sharpen_c(p):
+                tsc = _pole3(p, tt_ref[8], d_ref[8], 128.0, nb2)
+                out = _u8(p + (p - tsc) * cfg.vhs_out_sharpen_chroma)
+                return jnp.where(xw2 < w2, out, 0.0)
+
+            u = sharpen_c(u)
+            v = sharpen_c(v)
+            if not cfg.vhs_svideo_out:
+                y = _qam_encode_u8(y, u, v, xi_col,
+                                   cfg.subcarrier_amplitude, eu, w, wp)
+                y, u, v = _qam_decode_u8(y, xi_col,
+                                         cfg.subcarrier_amplitude, ed, w, wp)
+
+        if do_drop:
+            keep = drop_ref[0]
+            u = u * keep + 128.0 * (1.0 - keep)
+            v = v * keep + 128.0 * (1.0 - keep)
+            xw2 = _iota_w(wp2)
+            u = jnp.where(xw2 < w2, u, 0.0)
+            v = jnp.where(xw2 < w2, v, 0.0)
+
+        for _ in range(cfg.video_yc_recombine):
+            y = _qam_encode_u8(y, u, v, xi_col, cfg.subcarrier_amplitude,
+                               eu, w, wp)
+            y, u, v = _qam_decode_u8(y, xi_col, cfg.subcarrier_amplitude,
+                                     ed, w, wp)
+
+        if cfg.composite_out_chroma_lowpass:
+            u_delay = 2
+            v_delay = 4 if cfg.ntsc else 2
+            u = _chroma_lowpass_full(u, tt_ref[1], d_ref[1],
+                                     tt_ref[0], d_ref[0], u_delay, w2, wp2)
+            v = _chroma_lowpass_full(v, tt_ref[3], d_ref[3],
+                                     tt_ref[2], d_ref[2], v_delay, w2, wp2)
+        elif cfg.composite_out_chroma_lowpass_lite:
+            u = _chroma_lowpass_lite(u, tt_ref[9], d_ref[9], w2, wp2)
+            v = _chroma_lowpass_lite(v, tt_ref[9], d_ref[9], w2, wp2)
+
+        y_out[0] = y
+        u_out[0] = u
+        v_out[0] = v
+
+    return kernel
+
+
+# ---------------------------------------------------------------- dispatcher
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def composite_video_process_fused(
+    y, u, v, fieldno, field_parity, key, *,
+    cfg: CompositeConfig, interpret: bool = False,
+):
+    """Drop-in twin of yuv422.composite_video_process (identical RNG
+    consumption, f32). Caller must ensure the debug taps are off."""
+    assert not cfg.nocolor_subcarrier
+    assert not cfg.nocolor_subcarrier_after_yc_sep
+    y = jnp.asarray(y, jnp.int32)
+    b, l, w = y.shape
+    w2 = w // 2
+    wp = -(-w // BLOCK) * BLOCK
+    wp2 = -(-w2 // BLOCK) * BLOCK
+    dtype = jnp.float32
+
+    xi = scanline_phase_xi(
+        fieldno, field_parity, l,
+        cfg.video_scanline_phase_shift, cfg.video_scanline_phase_shift_offset,
+        cfg.ntsc, gen1=True)
+    keys = jax.random.split(key, 6)
+
+    if cfg.video_noise != 0:
+        vwalk = c_int(smoothed_noise_walk(
+            keys[0], (b, l * w), cfg.video_noise, dtype=dtype)).reshape(b, l, w)
+    else:
+        vwalk = jnp.zeros((b, l, w), dtype)
+    if cfg.video_chroma_noise != 0:
+        cwalk = c_int(smoothed_noise_walk(
+            keys[2], (b, 2, l * w2), cfg.video_chroma_noise,
+            dtype=dtype)).reshape(b, 2, l, w2)
+    else:
+        cwalk = jnp.zeros((b, 2, l, w2), dtype)
+    if cfg.video_chroma_phase_noise != 0:
+        pwalk = random_walk(keys[3], (b, l), cfg.video_chroma_phase_noise,
+                            dtype=dtype)
+        ang = c_int(pwalk) * jnp.asarray(jnp.pi / 100.0, dtype)
+        sincos = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    else:
+        zeros = jnp.zeros((b, l), dtype)
+        sincos = jnp.stack([zeros, zeros + 1.0], axis=-1)
+    if cfg.video_chroma_loss != 0:
+        rr = jax.random.randint(keys[4], (b, l), 0, 100000)
+        keep = (rr >= cfg.video_chroma_loss).astype(dtype)[..., None]
+    else:
+        keep = jnp.ones((b, l, 1), dtype)
+
+    tt_np, d_np = _alpha_consts_gen1(cfg)
+    tts = jnp.asarray(tt_np)
+    ds = jnp.asarray(d_np)
+    ed_np, eu_np = _pick_matrices(wp, wp2)
+    ed = jnp.asarray(ed_np)
+    eu = jnp.asarray(eu_np)
+
+    def padw(a, width, target):
+        return jnp.concatenate(
+            [a, jnp.zeros(a.shape[:-1] + (target - width,), a.dtype)],
+            axis=-1) if target != width else a
+
+    yf = padw(y.astype(dtype), w, wp)
+    uf = padw(u.astype(jnp.int32).astype(dtype), w2, wp2)
+    vf = padw(v.astype(jnp.int32).astype(dtype), w2, wp2)
+    vwalk_p = padw(vwalk, w, wp)
+    cwalk_p = padw(cwalk, w2, wp2)
+    xi_col = xi[..., None].astype(jnp.float32)
+
+    spec_full = pl.BlockSpec((1, l, wp), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_half = pl.BlockSpec((1, l, wp2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_col = pl.BlockSpec((1, l, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_sc = pl.BlockSpec((1, l, 2), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_tt = pl.BlockSpec(tt_np.shape, lambda i: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_d = pl.BlockSpec(d_np.shape, lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_ed = pl.BlockSpec(ed_np.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_eu = pl.BlockSpec(eu_np.shape, lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_cn = pl.BlockSpec((1, 2, l, wp2), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    kernel_a = _make_kernel_a(cfg, w, wp, w2, wp2)
+    y_enc = pl.pallas_call(
+        kernel_a,
+        out_shape=jax.ShapeDtypeStruct((b, l, wp), dtype),
+        grid=(b,),
+        in_specs=[spec_full, spec_half, spec_half, spec_col, spec_full,
+                  spec_tt, spec_d, spec_eu],
+        out_specs=spec_full,
+        interpret=interpret,
+    )(yf, uf, vf, xi_col, vwalk_p, tts, ds, eu)
+
+    if cfg.vhs_head_switching:
+        y_hs = yiq_mod.head_switching_stage(
+            y_enc[..., :w].astype(jnp.int32), field_parity, keys[1],
+            point=cfg.vhs_head_switching_point,
+            phase=cfg.vhs_head_switching_point,   # gen-1: one phase for x and y
+            phase_noise=cfg.vhs_head_switching_phase_noise,
+            ntsc=cfg.ntsc, fill=16, dtype=dtype)
+        y_enc = padw(y_hs.astype(dtype), w, wp)
+
+    kernel_b = _make_kernel_b(cfg, w, wp, w2, wp2)
+    y_o, u_o, v_o = pl.pallas_call(
+        kernel_b,
+        out_shape=(jax.ShapeDtypeStruct((b, l, wp), dtype),
+                   jax.ShapeDtypeStruct((b, l, wp2), dtype),
+                   jax.ShapeDtypeStruct((b, l, wp2), dtype)),
+        grid=(b,),
+        in_specs=[spec_full, spec_col, spec_cn, spec_sc, spec_col,
+                  spec_tt, spec_d, spec_ed, spec_eu],
+        out_specs=(spec_full, spec_half, spec_half),
+        interpret=interpret,
+    )(y_enc, xi_col, cwalk_p, sincos, keep, tts, ds, ed, eu)
+
+    return (y_o[..., :w].astype(jnp.int32),
+            u_o[..., :w2].astype(jnp.int32),
+            v_o[..., :w2].astype(jnp.int32))

@@ -319,6 +319,26 @@ composite_video_process_jit = functools.partial(
                 key=key, dtype=dtype))
 
 
+def composite_video_process_auto(y, u, v, fieldno, field_parity, key, *,
+                                 cfg: CompositeConfig, dtype=jnp.float32):
+    """Backend dispatch: fused two-kernel Pallas chain on TPU (bit-identical,
+    tests/test_fused_chain.py), stage-by-stage XLA path elsewhere and for the
+    debug taps the fused path doesn't carry."""
+    import os
+
+    if (dtype == jnp.float32 and jax.default_backend() == "tpu"
+            and os.environ.get("CVSIM_FUSED", "1") == "1"
+            and not cfg.nocolor_subcarrier
+            and not cfg.nocolor_subcarrier_after_yc_sep):
+        from cvsim_tpu.models.fused_yuv import composite_video_process_fused
+
+        return composite_video_process_fused(
+            y, u, v, fieldno, field_parity, key, cfg=cfg)
+    return composite_video_process(
+        y, u, v, cfg=cfg, fieldno=fieldno, field_parity=field_parity,
+        key=key, dtype=dtype)
+
+
 # ---------------------------------------------------------- black key stage
 
 def black_key_feedback(y, u, v, fy, fu, fv, level: int):

@@ -62,3 +62,69 @@ def test_fused_non_128_width():
     b = np.asarray(composite_layer_rgb_fused(
         rgb, fn, par, key, cfg=cfg, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+GEN1_CONFIGS = {
+    "defaults-noise-off": CompositeConfig(video_noise=0),
+    "noise": CompositeConfig(video_noise=6),
+    "vhs-sp": CompositeConfig(video_noise=0, emulating_vhs=True),
+    "pal": CompositeConfig(video_noise=0, ntsc=False),
+    "full-ep-stochastic": CompositeConfig(
+        video_noise=6, emulating_vhs=True, vhs_tape_speed=VHSSpeed.EP,
+        vhs_head_switching=True, vhs_head_switching_point=0.15,
+        vhs_head_switching_phase_noise=0.0, video_chroma_noise=22,
+        video_chroma_phase_noise=6, video_chroma_loss=100),
+    "out-full-recomb": CompositeConfig(
+        video_noise=0, composite_out_chroma_lowpass=True,
+        composite_out_chroma_lowpass_lite=False, video_yc_recombine=2),
+    "preemph-catv": CompositeConfig(
+        video_noise=0, composite_preemphasis=1.5,
+        composite_preemphasis_cut=315000000 / 88 / 2,
+        subcarrier_amplitude_back=68),
+    "svideo-novblend": CompositeConfig(
+        video_noise=0, emulating_vhs=True, vhs_svideo_out=True,
+        vhs_chroma_vert_blend=False),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GEN1_CONFIGS))
+def test_gen1_fused_matches_xla(name):
+    from cvsim_tpu.models import yuv422
+    from cvsim_tpu.models.fused_yuv import composite_video_process_fused
+
+    cfg = GEN1_CONFIGS[name]
+    rng = np.random.default_rng(hash(name) % 2**31)
+    B, L, W = 2, 32, 128
+    y = jnp.asarray(rng.integers(16, 236, (B, L, W)), jnp.int32)
+    u = jnp.asarray(rng.integers(16, 241, (B, L, W // 2)), jnp.int32)
+    v = jnp.asarray(rng.integers(16, 241, (B, L, W // 2)), jnp.int32)
+    fn = jnp.array([0, 1], jnp.int32)
+    par = jnp.array([0, 1], jnp.int32)
+    key = jax.random.PRNGKey(5)
+    a = yuv422.composite_video_process(
+        y, u, v, cfg=cfg, fieldno=fn, field_parity=par, key=key)
+    b = composite_video_process_fused(
+        y, u, v, fn, par, key, cfg=cfg, interpret=True)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_gen1_fused_non_128_width():
+    from cvsim_tpu.models import yuv422
+    from cvsim_tpu.models.fused_yuv import composite_video_process_fused
+
+    cfg = CompositeConfig(video_noise=0, emulating_vhs=True)
+    rng = np.random.default_rng(13)
+    B, L, W = 1, 16, 176
+    y = jnp.asarray(rng.integers(16, 236, (B, L, W)), jnp.int32)
+    u = jnp.asarray(rng.integers(16, 241, (B, L, W // 2)), jnp.int32)
+    v = jnp.asarray(rng.integers(16, 241, (B, L, W // 2)), jnp.int32)
+    fn = jnp.array([2], jnp.int32)
+    par = jnp.array([1], jnp.int32)
+    key = jax.random.PRNGKey(1)
+    a = yuv422.composite_video_process(
+        y, u, v, cfg=cfg, fieldno=fn, field_parity=par, key=key)
+    b = composite_video_process_fused(
+        y, u, v, fn, par, key, cfg=cfg, interpret=True)
+    for x1, x2 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
