@@ -271,6 +271,44 @@ class FlagState:
         )
 
 
+COMPOSITE_HELP = """\
+-i <input file>              Y4M video in (gen-2 'ntsc': repeatable, layered)
+-o <output file>             Y4M video out
+-audio-in / -audio-out       sidecar WAV audio in/out
+-tvstd <pal|ntsc>            raster/timing preset
+-vhs                         VHS artifact emulation preset
+-vhs-hifi <0|1>              Hi-Fi vs linear audio track (default on)
+-vhs-speed <sp|lp|ep>        tape speed (implies -vhs)
+-preemphasis / -deemphasis <0|1>   audio emphasis emulation
+-nocolor-subcarrier[-after-yc-sep] debug taps
+-subcarrier-amp <0..100>     subcarrier amplitude
+-noise <0..100>              luma noise
+-chroma-noise <0..100>       chroma AM noise
+-chroma-phase-noise <0..100> chroma phase noise
+-chroma-dropout <0..10000>   chroma scanline dropouts
+-audio-hiss <-120..0>        audio hiss dBFS
+-vhs-linear-video-crosstalk <dB>  sync buzz loudness
+-vhs-linear-high-boost <x>   linear-track high boost
+-vhs-head-switching <0|1> / -vhs-head-switching-point <x>
+-vhs-head-switching-noise-level <x>
+-vhs-svideo <0|1>            S-Video out of the VCR (skip recombine)
+-vhs-chroma-vblend <0|1>     vertical chroma blend
+-yc-recomb <n>               extra Y/C recombine cycles
+-comp-pre <s> / -comp-cut <f>  composite preemphasis scale/frequency
+-comp-catv[2|3|4]            CATV look presets
+-comp-phase <0|90|180|270> / -comp-phase-offset <n>
+-vi / -vp                    interlaced frame-rate vs bob field-rate output
+-422 / -420                  output chroma siting
+-nocomp                      transcode only, no emulation
+-ss/-se/-t <seconds>         transcode window
+-in-composite-lowpass / -out-composite-lowpass[-lite] <0|1>
+-bkey-feedback <n>           black-key feedback ("hall of mirrors")
+-width <n>                   output width
+-seed <n>                    deterministic noise seed
+-a/-v <n>, -an/-vn           stream selection
+"""
+
+
 def parse_composite_flags(argv: Sequence[str], gen2: bool = False) -> FlagState:
     """Left-to-right flag parser with the reference's exact names and
     preset-layering order (parse_argv, ffmpeg_to_composite.cpp:1325-1639 /
@@ -293,6 +331,9 @@ def parse_composite_flags(argv: Sequence[str], gen2: bool = False) -> FlagState:
             raise ValueError(f"Unhandled arg '{a}'")
         a = a.lstrip("-")
         if a in ("h", "help"):
+            import sys
+
+            print(COMPOSITE_HELP, file=sys.stderr)
             raise SystemExit(0)
         elif a == "width":
             st.width = int(take())
