@@ -27,11 +27,10 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cvsim_tpu.config import AudioConfig, iir_alpha
+from cvsim_tpu.config import iir_alpha
 from cvsim_tpu.ops.cmath import clips16
 from cvsim_tpu.ops.iir import iir_lowpass
 from cvsim_tpu.audio.chains import _interleaved_stage

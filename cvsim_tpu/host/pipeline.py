@@ -45,7 +45,7 @@ def _bkey_scan(y, u, v, fy, fu, fv, level: int):
 class CompositePipeline:
     """Gen-1 flagship pipeline (ffmpeg_to_composite equivalent)."""
 
-    def __init__(self, cfg: RunConfig, gop: int = 32, dtype=jnp.float32,
+    def __init__(self, cfg: RunConfig, gop: int = 64, dtype=jnp.float32,
                  progress: bool = True):
         self.cfg = cfg
         self.gop = gop

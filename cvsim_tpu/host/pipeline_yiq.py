@@ -48,7 +48,7 @@ def _scale_frame_to(y, u, v, width: int, height: int):
 
 
 class YIQPipeline:
-    def __init__(self, cfg: RunConfig, frame_delay: int = 1, gop: int = 16,
+    def __init__(self, cfg: RunConfig, frame_delay: int = 1, gop: int = 64,
                  die=None, dtype=jnp.float32, progress: bool = True):
         self.cfg = cfg
         self.gop = gop

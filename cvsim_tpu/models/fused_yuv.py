@@ -31,8 +31,8 @@ from cvsim_tpu.config import (
     NTSC_RATE_422,
     iir_alpha,
 )
-from cvsim_tpu.models import yuv422, yiq as yiq_mod
-from cvsim_tpu.models.fused_yiq import _pole, _pole3, _iota_w, _trunc, _cdiv
+from cvsim_tpu.models import yiq as yiq_mod
+from cvsim_tpu.models.fused_yiq import _pole, _pole3, _iota_w, _cdiv
 from cvsim_tpu.ops.blocked_iir import _decay_consts
 from cvsim_tpu.ops.cmath import c_int
 from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk

@@ -35,9 +35,6 @@ from cvsim_tpu.ops.iir import (
     cascade_plain,
     cascade_unsharp,
     delay_writeback,
-    iir_highpass,
-    iir_lowpass,
-    iir_lowpass_cascade,
 )
 from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk, uniform_pm1
 from cvsim_tpu.ops.phase import scanline_phase_xi

@@ -28,7 +28,6 @@ from cvsim_tpu.ops.iir import (
     cascade_unsharp,
     delay_writeback,
     iir_highpass,
-    iir_lowpass_cascade,
 )
 from cvsim_tpu.ops.noise import smoothed_noise_walk, random_walk
 from cvsim_tpu.ops.phase import scanline_phase_xi
