@@ -68,24 +68,30 @@ def tpu_fields_per_sec() -> float:
     # 4 bytes — this dev environment tunnels the TPU, so bulk D2H bandwidth
     # is not representative of production hosts.
     reduce_out = jax.jit(lambda o: o.astype(jnp.int32).sum())
+    keys = jax.random.split(key, 16)
 
-    def run():
-        out = yiq.composite_layer_rgb_auto(rgb, fieldno, parity, key, cfg=cfg)
-        return int(reduce_out(out))
+    def run_one(k):
+        out = yiq.composite_layer_rgb_auto(rgb, fieldno, parity, keys[k],
+                                           cfg=cfg)
+        return reduce_out(out)
 
     t0 = time.time()
-    run()
+    int(run_one(0))
     print(f"[bench] compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # sustained throughput: K batches dispatched back-to-back (async) so the
+    # per-call RPC latency pipelines away, as in the streaming pipelines
+    K = 8
     best = float("inf")
     for r in range(REPS):
         t0 = time.time()
-        run()
+        sums = [run_one(k % 16) for k in range(K)]
+        _ = [int(s) for s in sums]
         dt = time.time() - t0
         best = min(best, dt)
-        print(f"[bench] rep {r}: {dt*1e3:.1f}ms -> {BATCH/dt:.1f} fields/s",
-              file=sys.stderr)
-    return BATCH / best
+        print(f"[bench] rep {r}: {dt*1e3:.1f}ms for {K} batches -> "
+              f"{K*BATCH/dt:.1f} fields/s sustained", file=sys.stderr)
+    return K * BATCH / best
 
 
 def main():
