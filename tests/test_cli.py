@@ -324,3 +324,27 @@ def test_to_composite_422_input_and_output(tmp_path):
     hdr, frames = read_all(out)
     assert hdr.colorspace == "422"
     assert frames[0][1].shape == (480, W // 2)
+
+
+def test_bkey_state_carries_across_batches(tmp_path):
+    """Black-key filter planes must carry across GOP batches: gop=4 and
+    gop=8 runs over the same 8 fields produce identical output (noise off
+    so the only cross-batch state is the feedback frame)."""
+    from cvsim_tpu.host.pipeline import CompositePipeline
+    from cvsim_tpu.presets import parse_composite_flags
+
+    src = make_clip(str(tmp_path / "in.y4m"))
+    st = parse_composite_flags(
+        ["-width", str(W), "-noise", "0", "-bkey-feedback", "20"])
+    outs = {}
+    for gop in (4, 8):
+        cfg = st.to_run_config(gen1=True)
+        pipe = CompositePipeline(cfg, gop=gop, progress=False)
+        out = str(tmp_path / f"out{gop}.y4m")
+        with open(src, "rb") as fin, open(out, "wb") as fout:
+            pipe.run_video(y4m.Y4MReader(fin), fout)
+        outs[gop] = read_all(out)[1]
+    assert len(outs[4]) == len(outs[8]) == 8
+    for f4, f8 in zip(outs[4], outs[8]):
+        np.testing.assert_array_equal(f4[0], f8[0])
+        np.testing.assert_array_equal(f4[1], f8[1])
