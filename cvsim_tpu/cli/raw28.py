@@ -61,7 +61,6 @@ def run(argv):
         print("raw28ntsc needs -i <raw|-> and -o <out.y4m>", file=sys.stderr)
         return 1
 
-    kw.pop("mark_sync", None)  # visualization flag; detector marks internally
     height = 240  # one field of 262-line raster renders 240 visible lines
     dec = Raw28Decoder(rate_preset(srate), width=width, height=height, **kw)
 

@@ -253,7 +253,8 @@ class Raw28Decoder:
                  height: int = 480, *, disable_sync: bool = False,
                  equalize: bool = True, wp_equalize: bool = True,
                  separate_chroma: bool = True, show_subcarrier: bool = False,
-                 decode_color: bool = False, saturation: float = 2.0):
+                 decode_color: bool = False, saturation: float = 2.0,
+                 mark_sync: bool = False):
         from cvsim_tpu.native import HsyncDcTracker
 
         self.t = RawTiming(sample_rate)
@@ -266,6 +267,7 @@ class Raw28Decoder:
         self.show_subcarrier = show_subcarrier
         self.decode_color = decode_color
         self.saturation = saturation
+        self.mark_sync = mark_sync
         self.agc = AGCState()
         self.tracker = HsyncDcTracker(
             sample_rate, self.t.one_scanline_time, self.t.one_frame_time)
@@ -276,6 +278,9 @@ class Raw28Decoder:
     def feed(self, data: bytes | np.ndarray):
         r, d = self.tracker.process(np.frombuffer(data, np.uint8)
                                     if isinstance(data, bytes) else data)
+        if self.mark_sync:
+            # paint detected sync pulses white (ffmpeg_raw28ntsc.cpp:589-590)
+            r = np.where(d < SYNC_THRESHOLD, np.uint8(255), r)
         self.raw = np.concatenate([self.raw, r])
         self.dc = np.concatenate([self.dc, d])
 

@@ -169,3 +169,15 @@ def test_color_decode_recovers_uv():
     # luma in the active area is flat (carrier cancelled)
     act = luma[100, 450:650].astype(int)
     assert act.std() < 6, act.std()
+
+
+def test_mark_sync_paints_pulses():
+    from cvsim_tpu.models.raw28 import Raw28Decoder
+
+    dec = Raw28Decoder(RATE, width=720, height=240, mark_sync=True,
+                       disable_sync=True)
+    dec.feed(synth_capture(2))
+    f = dec.decode_field()
+    assert f is not None
+    # hsync region (leftmost columns of each line) rendered near white
+    assert (f[:, :20] > 200).mean() > 0.5
