@@ -188,6 +188,8 @@ class CompositePipeline:
         batch = []
         pending = {}
         ticks_per_frame = 2
+        base_idx = None   # first accepted frame rebases the clock to zero
+                          # (the reference's adj_time = -t, :2264-2265)
 
         for frame_idx, (ysrc, usrc, vsrc) in enumerate(reader):
             t = float(frame_idx / fps)
@@ -195,8 +197,11 @@ class CompositePipeline:
                 break
             if t < cfg.transcode_start:
                 continue
-            frame_pts = timing.frame_pts_to_field(frame_idx, fps, self._field_rate)
-            tgt = timing.frame_pts_to_field(frame_idx + 1, fps, self._field_rate)
+            if base_idx is None:
+                base_idx = frame_idx
+            rel = frame_idx - base_idx
+            frame_pts = timing.frame_pts_to_field(rel, fps, self._field_rate)
+            tgt = timing.frame_pts_to_field(rel + 1, fps, self._field_rate)
             tgt = timing.video_target_field(tgt, video_field)
             if usrc is None:
                 w2 = ysrc.shape[1] // 2

@@ -348,3 +348,19 @@ def test_bkey_state_carries_across_batches(tmp_path):
     for f4, f8 in zip(outs[4], outs[8]):
         np.testing.assert_array_equal(f4[0], f8[0])
         np.testing.assert_array_equal(f4[1], f8[1])
+
+
+def test_transcode_window(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"), frames=8)
+    out = str(tmp_path / "out.y4m")
+    # 8 frames at 29.97fps ~ 0.267s; window [0.1, 0.2] keeps ~3 frames
+    rc = main(["to-composite", "-i", src, "-o", out, "-width", str(W),
+               "-noise", "0", "-ss", "0.1", "-se", "0.2"])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert 2 <= len(frames) <= 8
+    full = str(tmp_path / "full.y4m")
+    rc = main(["to-composite", "-i", src, "-o", full, "-width", str(W),
+               "-noise", "0"])
+    _, all_frames = read_all(full)
+    assert len(frames) < len(all_frames)
