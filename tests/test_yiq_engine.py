@@ -218,3 +218,36 @@ def test_batched_fields_independent():
         np.testing.assert_array_equal(np.asarray(by)[k], np.asarray(sy)[0])
         np.testing.assert_array_equal(np.asarray(bi)[k], np.asarray(si)[0])
         np.testing.assert_array_equal(np.asarray(bq)[k], np.asarray(sq)[0])
+
+
+def test_full_chain_wide_field_multi_block():
+    """W=256 exercises multiple 128-sample IIR blocks and cross-block carry
+    in every filter stage (the small-W tests cover only one block)."""
+    cfg = CompositeConfig(
+        video_noise=0, video_chroma_noise=0, video_chroma_phase_noise=0,
+        video_chroma_loss=0, vhs_head_switching=False, emulating_vhs=True,
+        vhs_tape_speed=VHSSpeed.EP)
+    _, y, i, q = rand_yiq(99, l=4, w=256)
+    fieldno, parity = 1, 1
+    gy, gi, gq = yiq.composite_layer(
+        to_dev(y), to_dev(i), to_dev(q), cfg=cfg,
+        fieldno=jnp.array([fieldno], jnp.int32),
+        field_parity=jnp.array([parity], jnp.int32),
+        key=jax.random.PRNGKey(0), dtype=jnp.float64)
+
+    wy, wi, wq = y.copy(), i.copy(), q.copy()
+    wi, wq = ref.composite_lowpass_yiq(wi, wq)
+    wy, wi, wq = ref.chroma_into_luma_yiq(wy, wi, wq, fieldno, parity, 50)
+    wy, wi, wq = ref.chroma_from_luma_yiq(wy, wi, wq, fieldno, parity, 50)
+    sp = VHSSpeed.EP
+    wy = ref.vhs_luma_lowpass_yiq(wy, sp.luma_cut)
+    wi, wq = ref.vhs_chroma_lowpass_yiq(wi, wq, sp.chroma_cut, sp.chroma_delay_gen2)
+    wi, wq = ref.vhs_chroma_vert_blend_yiq(wi, wq)
+    wy = ref.vhs_sharpen_yiq(wy, sp.luma_cut, cfg.vhs_out_sharpen)
+    wy, wi, wq = ref.chroma_into_luma_yiq(wy, wi, wq, fieldno, parity, 50)
+    wy, wi, wq = ref.chroma_from_luma_yiq(wy, wi, wq, fieldno, parity, 50)
+    wi, wq = ref.composite_lowpass_yiq(wi, wq, lite=True)
+
+    assert_near_exact(gy, wy, frac=0.01, name="Y")
+    assert_near_exact(gi, wi, frac=0.01, name="I")
+    assert_near_exact(gq, wq, frac=0.01, name="Q")
