@@ -40,6 +40,12 @@ from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk
 from cvsim_tpu.ops.phase import scanline_phase_xi
 
 BLOCK = 128
+# VMEM thresholds (samples per tile), empirically bounded on v5e: the
+# single-tile kernel B holds ~12 live buffers (SD 184k samples OK); the
+# tiled kernel B1 holds ~18 (128-row x 1920 tiles = 245k OOMed by 1.9MB).
+# Tests shrink _TILE_BUDGET to exercise the tiled path on small shapes.
+_SINGLE_TILE_BUDGET = 200_000
+_TILE_BUDGET = 130_000
 
 
 # ----------------------------------------------------------- kernel helpers
@@ -182,95 +188,163 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int):
     return kernel
 
 
-def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int):
+def _kernel_b_front(cfg, w, wp, y, xi_col, cn0, cn1, sin_a, cos_a):
+    """Decode + chroma/phase noise + VHS bandlimit (row-independent)."""
     nb = wp // BLOCK
     speed = cfg.vhs_tape_speed
-    do_cnoise = cfg.video_chroma_noise != 0
-    do_pnoise = cfg.video_chroma_phase_noise != 0
-    do_drop = cfg.video_chroma_loss != 0
+    xw = _iota_w(wp)
+    active = xw < w
 
-    def kernel(y_ref, xi_ref, cn_ref, sc_ref, drop_ref, tt_ref, d_ref,
-               r_ref, g_ref, b_ref):
-        xw = _iota_w(wp)
-        active = xw < w
-        y = y_ref[0]
-        xi_col = xi_ref[0].astype(jnp.int32)
+    if not cfg.nocolor_subcarrier:
+        y, i, q = _qam_decode(y, xi_col, cfg.subcarrier_amplitude_back, w, wp)
+    else:
+        i = jnp.zeros_like(y)
+        q = jnp.zeros_like(y)
 
-        if not cfg.nocolor_subcarrier:
-            y, i, q = _qam_decode(y, xi_col, cfg.subcarrier_amplitude_back, w, wp)
+    if cfg.video_chroma_noise != 0:
+        i = i + cn0
+        q = q + cn1
+
+    if cfg.video_chroma_phase_noise != 0:
+        if cfg.chroma_phase_noise_gen1_bug:
+            i2 = i * cos_a - i * sin_a
+            q2 = q * cos_a + q * sin_a
         else:
-            i = jnp.zeros_like(y)
-            q = jnp.zeros_like(y)
+            i2 = i * cos_a - q * sin_a
+            q2 = i * sin_a + q * cos_a
+        i = _trunc(i2)
+        q = _trunc(q2)
 
-        if do_cnoise:
-            i = i + cn_ref[0, 0]
-            q = q + cn_ref[0, 1]
+    if cfg.emulating_vhs:
+        s = _pole3(y, *_TT[3], 16.0, nb)
+        lp = _pole(s, *_TT[3], 16.0, nb)
+        y = jnp.where(active, _trunc(s + (s - lp) * 1.6), 0.0)
+        i = _lowpass_writeback(i, *_TT[4], speed.chroma_delay_gen2, w, wp)
+        q = _lowpass_writeback(q, *_TT[4], speed.chroma_delay_gen2, w, wp)
+    return y, i, q
 
-        if do_pnoise:
-            sin_a = sc_ref[0, :, 0:1]
-            cos_a = sc_ref[0, :, 1:2]
-            if cfg.chroma_phase_noise_gen1_bug:
-                i2 = i * cos_a - i * sin_a
-                q2 = q * cos_a + q * sin_a
-            else:
-                i2 = i * cos_a - q * sin_a
-                q2 = i * sin_a + q * cos_a
-            i = _trunc(i2)
-            q = _trunc(q2)
 
-        if cfg.emulating_vhs:
-            # luma bandlimit + emphasis
-            s = _pole3(y, tt_ref[3], d_ref[3], 16.0, nb)
-            lp = _pole(s, tt_ref[3], d_ref[3], 16.0, nb)
-            y = jnp.where(active, _trunc(s + (s - lp) * 1.6), 0.0)
-            # chroma bandlimit with delayed writeback
-            i = _lowpass_writeback(i, tt_ref[4], d_ref[4],
-                                   speed.chroma_delay_gen2, w, wp)
-            q = _lowpass_writeback(q, tt_ref[4], d_ref[4],
-                                   speed.chroma_delay_gen2, w, wp)
-            if cfg.vhs_chroma_vert_blend and cfg.ntsc:
-                rows = jax.lax.broadcasted_iota(jnp.int32, (i.shape[0], 1), 0)
+def _kernel_b_vblend(cfg, i, q):
+    """In-kernel 2-line chroma blend (single-tile mode only)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (i.shape[0], 1), 0)
 
-                def vblend(p):
-                    prev = jnp.roll(p, 1, axis=0)
-                    prev = jnp.where(rows == 1, 0.0, prev)
-                    blended = jnp.floor((prev + p + 1.0) / 2.0)
-                    return jnp.where(rows == 0, p, blended)
-                i = vblend(i)
-                q = vblend(q)
-            # sharpen (x4 cutoff, gain x2, reset 0)
-            ts = _pole3(y, tt_ref[5], d_ref[5], 0.0, nb)
-            y = jnp.where(active,
-                          _trunc(y + (y - ts) * (cfg.vhs_out_sharpen * 2.0)),
-                          0.0)
-            if not cfg.vhs_svideo_out:
-                y = _qam_encode(y, i, q, xi_col, cfg.subcarrier_amplitude, wp)
-                y, i, q = _qam_decode(y, xi_col, cfg.subcarrier_amplitude, w, wp)
+    def vblend(p):
+        prev = jnp.roll(p, 1, axis=0)
+        prev = jnp.where(rows == 1, 0.0, prev)
+        blended = jnp.floor((prev + p + 1.0) / 2.0)
+        return jnp.where(rows == 0, p, blended)
 
-        if do_drop:
-            keep = drop_ref[0]
-            i = i * keep
-            q = q * keep
+    return vblend(i), vblend(q)
 
-        for _ in range(cfg.video_yc_recombine):
+
+def _kernel_b_back(cfg, w, wp, y, i, q, xi_col, keep):
+    """Sharpen + recombine + dropout + output lowpass + YIQ->RGB
+    (row-independent)."""
+    nb = wp // BLOCK
+    xw = _iota_w(wp)
+    active = xw < w
+
+    if cfg.emulating_vhs:
+        ts = _pole3(y, *_TT[5], 0.0, nb)
+        y = jnp.where(active,
+                      _trunc(y + (y - ts) * (cfg.vhs_out_sharpen * 2.0)), 0.0)
+        if not cfg.vhs_svideo_out:
             y = _qam_encode(y, i, q, xi_col, cfg.subcarrier_amplitude, wp)
             y, i, q = _qam_decode(y, xi_col, cfg.subcarrier_amplitude, w, wp)
 
-        if cfg.composite_out_chroma_lowpass:
-            if cfg.composite_out_chroma_lowpass_lite:
-                i = _lowpass_writeback(i, tt_ref[6], d_ref[6], 1, w, wp)
-                q = _lowpass_writeback(q, tt_ref[6], d_ref[6], 1, w, wp)
-            else:
-                i = _lowpass_writeback(i, tt_ref[0], d_ref[0], 2, w, wp)
-                q = _lowpass_writeback(q, tt_ref[1], d_ref[1], 4, w, wp)
+    if cfg.video_chroma_loss != 0:
+        i = i * keep
+        q = q * keep
 
-        # YIQ -> RGB
-        r = _trunc((1.000 * y + 0.956 * i + 0.621 * q) / 256.0)
-        g = _trunc((1.000 * y - 0.272 * i - 0.647 * q) / 256.0)
-        b = _trunc((1.000 * y - 1.106 * i + 1.703 * q) / 256.0)
-        r_ref[0] = jnp.clip(r, 0.0, 255.0)
-        g_ref[0] = jnp.clip(g, 0.0, 255.0)
-        b_ref[0] = jnp.clip(b, 0.0, 255.0)
+    for _ in range(cfg.video_yc_recombine):
+        y = _qam_encode(y, i, q, xi_col, cfg.subcarrier_amplitude, wp)
+        y, i, q = _qam_decode(y, xi_col, cfg.subcarrier_amplitude, w, wp)
+
+    if cfg.composite_out_chroma_lowpass:
+        if cfg.composite_out_chroma_lowpass_lite:
+            i = _lowpass_writeback(i, *_TT[6], 1, w, wp)
+            q = _lowpass_writeback(q, *_TT[6], 1, w, wp)
+        else:
+            i = _lowpass_writeback(i, *_TT[0], 2, w, wp)
+            q = _lowpass_writeback(q, *_TT[1], 4, w, wp)
+
+    r = _trunc((1.000 * y + 0.956 * i + 0.621 * q) / 256.0)
+    g = _trunc((1.000 * y - 0.272 * i - 0.647 * q) / 256.0)
+    b = _trunc((1.000 * y - 1.106 * i + 1.703 * q) / 256.0)
+    return (jnp.clip(r, 0.0, 255.0), jnp.clip(g, 0.0, 255.0),
+            jnp.clip(b, 0.0, 255.0))
+
+
+class _TTBinder:
+    """Binds the stacked decay-constant refs so the section helpers can say
+    _TT[k] -> (T_t, d) without threading the refs everywhere."""
+
+    def __init__(self):
+        self.tt = None
+        self.d = None
+
+    def bind(self, tt_ref, d_ref):
+        self.tt = tt_ref
+        self.d = d_ref
+
+    def __getitem__(self, k):
+        return self.tt[k], self.d[k]
+
+
+_TT = _TTBinder()
+
+
+def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int):
+    """Single-tile kernel: full field resident, in-kernel vertical blend."""
+
+    def kernel(y_ref, xi_ref, cn_ref, sc_ref, drop_ref, tt_ref, d_ref,
+               r_ref, g_ref, b_ref):
+        _TT.bind(tt_ref, d_ref)
+        y = y_ref[0]
+        xi_col = xi_ref[0].astype(jnp.int32)
+        y, i, q = _kernel_b_front(cfg, w, wp, y, xi_col,
+                                  cn_ref[0, 0], cn_ref[0, 1],
+                                  sc_ref[0, :, 0:1], sc_ref[0, :, 1:2])
+        if cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc:
+            i, q = _kernel_b_vblend(cfg, i, q)
+        r, g, b = _kernel_b_back(cfg, w, wp, y, i, q, xi_col, drop_ref[0])
+        r_ref[0] = r
+        g_ref[0] = g
+        b_ref[0] = b
+
+    return kernel
+
+
+def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int):
+    """Tiled-mode front half (row-independent; vblend happens in XLA)."""
+
+    def kernel(y_ref, xi_ref, cn_ref, sc_ref, tt_ref, d_ref,
+               y_out, i_out, q_out):
+        _TT.bind(tt_ref, d_ref)
+        y = y_ref[0]
+        xi_col = xi_ref[0].astype(jnp.int32)
+        y, i, q = _kernel_b_front(cfg, w, wp, y, xi_col,
+                                  cn_ref[0, 0], cn_ref[0, 1],
+                                  sc_ref[0, :, 0:1], sc_ref[0, :, 1:2])
+        y_out[0] = y
+        i_out[0] = i
+        q_out[0] = q
+
+    return kernel
+
+
+def _make_kernel_b2(cfg: CompositeConfig, w: int, wp: int):
+    """Tiled-mode back half (row-independent)."""
+
+    def kernel(y_ref, i_ref, q_ref, xi_ref, drop_ref, tt_ref, d_ref,
+               r_ref, g_ref, b_ref):
+        _TT.bind(tt_ref, d_ref)
+        xi_col = xi_ref[0].astype(jnp.int32)
+        r, g, b = _kernel_b_back(cfg, w, wp, y_ref[0], i_ref[0], q_ref[0],
+                                 xi_col, drop_ref[0])
+        r_ref[0] = r
+        g_ref[0] = g
+        b_ref[0] = b
 
     return kernel
 
@@ -364,64 +438,125 @@ def composite_layer_rgb_fused(
     tts = jnp.asarray(tt_np)
     ds = jnp.asarray(d_np)
 
+    # line tiling: single tile (whole field resident, vblend in-kernel) when
+    # the field fits VMEM; otherwise TL-row tiles with the vertical blend in
+    # XLA between the two row-independent kernel halves (HD path)
+    if l * wp <= min(_SINGLE_TILE_BUDGET, max(_TILE_BUDGET, 1) * 2):
+        tl = l
+    else:
+        tl = 256
+        while tl * wp > _TILE_BUDGET and tl > 8:
+            tl //= 2
+    n_lt = -(-l // tl)
+    lp = n_lt * tl
+    single_tile = (n_lt == 1)
+
     def padw(a, fill=0.0):
-        return jnp.concatenate(
-            [a, jnp.full(a.shape[:-1] + (wp - w,), fill, a.dtype)], axis=-1) \
-            if wp != w else a
+        if wp != w:
+            a = jnp.concatenate(
+                [a, jnp.full(a.shape[:-1] + (wp - w,), fill, a.dtype)],
+                axis=-1)
+        return a
 
-    rf = padw(rgb[..., 0].astype(dtype))
-    gf = padw(rgb[..., 1].astype(dtype))
-    bf = padw(rgb[..., 2].astype(dtype))
-    vwalk_p = padw(vwalk)
-    cwalk_p = padw(cwalk)
-    xi_col = xi[..., None].astype(jnp.float32)  # [B, L, 1] (VMEM-friendly)
+    def padl(a):
+        if lp != l:
+            pad_shape = a.shape[:1] + (lp - l,) + a.shape[2:]
+            a = jnp.concatenate([a, jnp.zeros(pad_shape, a.dtype)], axis=1)
+        return a
 
-    specs3 = lambda: pl.BlockSpec((1, l, wp), lambda i: (i, 0, 0),
+    rf = padl(padw(rgb[..., 0].astype(dtype)))
+    gf = padl(padw(rgb[..., 1].astype(dtype)))
+    bf = padl(padw(rgb[..., 2].astype(dtype)))
+    vwalk_p = padl(padw(vwalk))
+    cwalk_p = jnp.swapaxes(padl(jnp.swapaxes(padw(cwalk), 1, 2)), 1, 2)
+    xi_col = padl(xi[..., None].astype(jnp.float32))   # [B, Lp, 1]
+    sincos_p = padl(sincos)
+    keep_p = padl(keep)
+
+    specs3 = lambda: pl.BlockSpec((1, tl, wp), lambda i, j: (i, j, 0),
                                   memory_space=pltpu.VMEM)
-    spec_col = pl.BlockSpec((1, l, 1), lambda i: (i, 0, 0),
+    spec_col = pl.BlockSpec((1, tl, 1), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
-    spec_sc = pl.BlockSpec((1, l, 2), lambda i: (i, 0, 0),
+    spec_sc = pl.BlockSpec((1, tl, 2), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
-    spec_tt = pl.BlockSpec((7, BLOCK, BLOCK), lambda i: (0, 0, 0),
+    spec_tt = pl.BlockSpec((7, BLOCK, BLOCK), lambda i, j: (0, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_d = pl.BlockSpec((7, BLOCK), lambda i: (0, 0),
+    spec_d = pl.BlockSpec((7, BLOCK), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
+    spec_cn = pl.BlockSpec((1, 2, tl, wp), lambda i, j: (i, 0, j, 0),
+                           memory_space=pltpu.VMEM)
+    grid = (b, n_lt)
 
     kernel_a = _make_kernel_a(cfg, w, wp)
-
     y_enc = pl.pallas_call(
         kernel_a,
-        out_shape=jax.ShapeDtypeStruct((b, l, wp), dtype),
-        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, lp, wp), dtype),
+        grid=grid,
         in_specs=[specs3(), specs3(), specs3(), spec_col, specs3(),
                   spec_tt, spec_d],
         out_specs=specs3(),
         interpret=interpret,
     )(rf, gf, bf, xi_col, vwalk_p, tts, ds)
 
-    # head switching on the encoded luma (XLA, windowed)
+    # head switching on the encoded luma (XLA, windowed) — on the REAL rows
+    # so the shift schedule matches the stage-by-stage path exactly
     if cfg.vhs_head_switching:
         y_hs = yiq.head_switching_stage(
-            y_enc[..., :w].astype(jnp.int32), field_parity, keys[1],
+            y_enc[:, :l, :w].astype(jnp.int32), field_parity, keys[1],
             point=cfg.vhs_head_switching_point,
             phase=cfg.vhs_head_switching_phase,
             phase_noise=cfg.vhs_head_switching_phase_noise,
             ntsc=cfg.ntsc, fill=0, dtype=dtype)
-        y_enc = padw(y_hs.astype(dtype))
+        y_enc = padl(padw(y_hs.astype(dtype)))
 
-    kernel_b = _make_kernel_b(cfg, w, wp)
+    do_vblend = cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc
+    if single_tile:
+        kernel_b = _make_kernel_b(cfg, w, wp)
+        r_o, g_o, b_o = pl.pallas_call(
+            kernel_b,
+            out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
+            grid=grid,
+            in_specs=[specs3(), spec_col, spec_cn, spec_sc, spec_col,
+                      spec_tt, spec_d],
+            out_specs=(specs3(),) * 3,
+            interpret=interpret,
+        )(y_enc, xi_col, cwalk_p, sincos_p, keep_p, tts, ds)
+    else:
+        kernel_b1 = _make_kernel_b1(cfg, w, wp)
+        y2, i2, q2 = pl.pallas_call(
+            kernel_b1,
+            out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
+            grid=grid,
+            in_specs=[specs3(), spec_col, spec_cn, spec_sc,
+                      spec_tt, spec_d],
+            out_specs=(specs3(),) * 3,
+            interpret=interpret,
+        )(y_enc, xi_col, cwalk_p, sincos_p, tts, ds)
+        if do_vblend:
+            # 2-line chroma blend in XLA over the REAL rows (same math as
+            # the in-kernel version: row 0 kept, row 1 blends with 0)
+            def vblend(p):
+                pr = p[:, :l]
+                prev = jnp.concatenate(
+                    [jnp.zeros_like(pr[:, :1]), pr[:, :-1]], axis=1)
+                rows = jnp.arange(l)[None, :, None]
+                prev = jnp.where(rows == 1, 0.0, prev)
+                blended = jnp.floor((prev + pr + 1.0) / 2.0)
+                out = jnp.where(rows == 0, pr, blended)
+                return padl(out)
+            i2 = vblend(i2)
+            q2 = vblend(q2)
+        kernel_b2 = _make_kernel_b2(cfg, w, wp)
+        r_o, g_o, b_o = pl.pallas_call(
+            kernel_b2,
+            out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
+            grid=grid,
+            in_specs=[specs3(), specs3(), specs3(), spec_col, spec_col,
+                      spec_tt, spec_d],
+            out_specs=(specs3(),) * 3,
+            interpret=interpret,
+        )(y2, i2, q2, xi_col, keep_p, tts, ds)
 
-    spec_cn = pl.BlockSpec((1, 2, l, wp), lambda i: (i, 0, 0, 0),
-                           memory_space=pltpu.VMEM)
-    r_o, g_o, b_o = pl.pallas_call(
-        kernel_b,
-        out_shape=(jax.ShapeDtypeStruct((b, l, wp), dtype),) * 3,
-        grid=(b,),
-        in_specs=[specs3(), spec_col, spec_cn, spec_sc, spec_col,
-                  spec_tt, spec_d],
-        out_specs=(specs3(),) * 3,
-        interpret=interpret,
-    )(y_enc, xi_col, cwalk_p, sincos, keep, tts, ds)
-
-    out = jnp.stack([r_o[..., :w], g_o[..., :w], b_o[..., :w]], axis=-1)
+    out = jnp.stack([r_o[:, :l, :w], g_o[:, :l, :w], b_o[:, :l, :w]],
+                    axis=-1)
     return out.astype(jnp.uint8)

@@ -490,24 +490,22 @@ def composite_layer_rgb(
 
 
 def _fused_fits_vmem(l: int, w: int) -> bool:
-    """The fused kernels keep a full field's planes (plus ~8 working copies)
-    in VMEM; beyond ~390k samples/field (e.g. 1080p) that oversubscribes the
-    ~16MB VMEM, so large rasters take the XLA path."""
+    """Whether a whole field fits VMEM-resident (single-tile fused mode).
+    The gen-2 fused path line-tiles larger rasters automatically; gen-1
+    does not yet, so its dispatcher still guards on this."""
     wp = -(-w // 128) * 128
     return l * wp <= 390_000
 
 
 def composite_layer_rgb_auto(rgb, fieldno, field_parity, key, *,
                              cfg: CompositeConfig, dtype=jnp.float32):
-    """Backend dispatch: the fused two-kernel Pallas chain on TPU (1.6x the
-    stage-by-stage XLA path, bit-identical output — tests/test_fused_chain),
-    the XLA path elsewhere (CPU tests, GSPMD-sharded meshes, rasters too
-    large for VMEM residency)."""
+    """Backend dispatch: the fused Pallas chain on TPU (bit-identical output
+    — tests/test_fused_chain; line-tiled automatically for HD rasters), the
+    XLA path elsewhere (CPU tests, GSPMD-sharded meshes)."""
     import os
 
     if (dtype == jnp.float32 and jax.default_backend() == "tpu"
-            and os.environ.get("CVSIM_FUSED", "1") == "1"
-            and _fused_fits_vmem(rgb.shape[-3], rgb.shape[-2])):
+            and os.environ.get("CVSIM_FUSED", "1") == "1"):
         from cvsim_tpu.models.fused_yiq import composite_layer_rgb_fused
 
         return composite_layer_rgb_fused(

@@ -128,3 +128,46 @@ def test_gen1_fused_non_128_width():
         y, u, v, fn, par, key, cfg=cfg, interpret=True)
     for x1, x2 in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_tiled_fused_matches_xla():
+    """HD path: force line tiling (vblend between kernel halves in XLA) and
+    compare against the stage-by-stage path."""
+    from cvsim_tpu.models import fused_yiq
+
+    old = fused_yiq._TILE_BUDGET
+    fused_yiq._TILE_BUDGET = 16 * 128   # 16-row tiles at W=128
+    try:
+        for name in ("vhs-ep-stochastic", "defaults-noise-off", "svideo"):
+            cfg = CONFIGS[name]
+            rng = np.random.default_rng(hash(name) % 2**31)
+            rgb = jnp.asarray(rng.integers(0, 256, (2, 48, 128, 3)), jnp.int32)
+            fn = jnp.array([0, 1], jnp.int32)
+            par = jnp.array([0, 1], jnp.int32)
+            key = jax.random.PRNGKey(5)
+            a = np.asarray(yiq.composite_layer_rgb(rgb, fn, par, key, cfg=cfg))
+            b = np.asarray(composite_layer_rgb_fused(
+                rgb, fn, par, key, cfg=cfg, interpret=True))
+            np.testing.assert_array_equal(a, b, err_msg=name)
+    finally:
+        fused_yiq._TILE_BUDGET = old
+
+
+def test_tiled_fused_non_divisible_rows():
+    from cvsim_tpu.models import fused_yiq
+
+    old = fused_yiq._TILE_BUDGET
+    fused_yiq._TILE_BUDGET = 16 * 128
+    try:
+        cfg = CONFIGS["vhs-sp"]
+        rng = np.random.default_rng(77)
+        rgb = jnp.asarray(rng.integers(0, 256, (1, 40, 128, 3)), jnp.int32)
+        fn = jnp.array([3], jnp.int32)
+        par = jnp.array([1], jnp.int32)
+        key = jax.random.PRNGKey(2)
+        a = np.asarray(yiq.composite_layer_rgb(rgb, fn, par, key, cfg=cfg))
+        b = np.asarray(composite_layer_rgb_fused(
+            rgb, fn, par, key, cfg=cfg, interpret=True))
+        np.testing.assert_array_equal(a, b)
+    finally:
+        fused_yiq._TILE_BUDGET = old
