@@ -39,32 +39,47 @@ from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk
 from cvsim_tpu.ops.phase import scanline_phase_xi
 
 BLOCK = 128
+# VMEM tiling thresholds (luma samples per tile); see fused_yiq.py
+_SINGLE_TILE_BUDGET = 200_000
+_TILE_BUDGET = 130_000
 
 
 def _u8(x):
     return jnp.clip(jnp.trunc(x), 0.0, 255.0)
 
 
-@functools.lru_cache(maxsize=8)
-def _pick_matrices(wp: int, wp2: int):
-    """E_down [wp, wp2] picks even samples (half @ full); E_up [wp2, wp]
-    replicates each half-width sample twice."""
-    k = min(wp2, wp // 2)   # half-width pad columns beyond wp/2 stay zero
-    j = np.arange(k)
-    e_down = np.zeros((wp, wp2), np.float32)
+@functools.lru_cache(maxsize=2)
+def _pick_matrices():
+    """Block-local stride-2 selection: ed [256, 128] picks even samples of a
+    256-column block; eu [128, 256] replicates a 128-column half-width block
+    to 256 full-width columns. Applied per block so VMEM cost is constant
+    (128KB) regardless of raster width (full-size matrices blew VMEM at HD).
+    Requires wp == 2 * wp2."""
+    j = np.arange(128)
+    e_down = np.zeros((256, 128), np.float32)
     e_down[j * 2, j] = 1.0
-    e_up = np.zeros((wp2, wp), np.float32)
+    e_up = np.zeros((128, 256), np.float32)
     e_up[j, j * 2] = 1.0
     e_up[j, j * 2 + 1] = 1.0
     return e_down, e_up
 
 
 def _down(full, ed):
-    return jnp.dot(full, ed, preferred_element_type=full.dtype)
+    """[L, wp] -> [L, wp/2] even-sample pick via per-block matmuls."""
+    wp = full.shape[-1]
+    outs = [jnp.dot(full[:, 256 * j2:256 * (j2 + 1)], ed,
+                    preferred_element_type=full.dtype)
+            for j2 in range(wp // 256)]
+    return jnp.concatenate(outs, axis=-1)
 
 
 def _up(half, eu):
-    return jnp.dot(half, eu, preferred_element_type=half.dtype)
+    """[L, wp/2] -> [L, wp] x2 replication via per-block matmuls."""
+    wp2 = half.shape[-1]
+    outs = [jnp.dot(half[:, 128 * j2:128 * (j2 + 1)], eu,
+                    preferred_element_type=half.dtype)
+            for j2 in range(wp2 // 128)]
+    return jnp.concatenate(outs, axis=-1)
 
 
 def _chroma_lowpass_full(p, tt_hp, d_hp, tt_lp, d_lp, delay, w2, wp2):
@@ -124,7 +139,7 @@ def _qam_decode_u8(y, xi_col, amp_back: int, ed, w: int, wp: int):
     new_v = jnp.where(odd_phase, 255.0 - ce, 255.0 - co)
     new_y = jnp.where(xw < w, new_y, 0.0)
     w2 = w // 2
-    xw2 = _iota_w(ed.shape[1])
+    xw2 = _iota_w(wp // 2)
     return (new_y, jnp.where(xw2 < w2, new_u, 0.0),
             jnp.where(xw2 < w2, new_v, 0.0))
 
@@ -163,7 +178,6 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
     nb = wp // BLOCK
     do_pre = cfg.composite_preemphasis != 0 and cfg.composite_preemphasis_cut > 0
     do_noise = cfg.video_noise != 0
-    ed_np, eu_np = _pick_matrices(wp, wp2)
 
     def kernel(y_ref, u_ref, v_ref, xi_ref, noise_ref, tt_ref, d_ref,
                eu_ref, y_out):
@@ -195,109 +209,160 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
     return kernel
 
 
-def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
+def _b_front(cfg, w, wp, w2, wp2, y, xi_col, cn0, cn1, sin_a, cos_a,
+             tt_ref, d_ref, ed):
+    """Decode + chroma/phase noise + VHS bandlimit (row-independent)."""
     nb = wp // BLOCK
     nb2 = wp2 // BLOCK
     speed = cfg.vhs_tape_speed
-    do_cnoise = cfg.video_chroma_noise != 0
-    do_pnoise = cfg.video_chroma_phase_noise != 0
-    do_drop = cfg.video_chroma_loss != 0
+
+    y, u, v = _qam_decode_u8(y, xi_col, cfg.subcarrier_amplitude_back,
+                             ed, w, wp)
+
+    if cfg.video_chroma_noise != 0:
+        u = _u8(u + cn0)
+        v = _u8(v + cn1)
+
+    if cfg.video_chroma_phase_noise != 0:
+        uu = u - 128.0
+        vv = v - 128.0
+        # gen-1 rotation-matrix bug (ffmpeg_to_composite.cpp:772)
+        u = _u8(uu * cos_a - uu * sin_a + 128.0)
+        v = _u8(vv * cos_a + vv * sin_a + 128.0)
+
+    if cfg.emulating_vhs:
+        # luma: 3 lowpasses then emphasis vs a 4th same-cut pole
+        t = _pole3(y, tt_ref[5], d_ref[5], 16.0, nb)
+        lp = _pole(t, tt_ref[5], d_ref[5], 16.0, nb)
+        y = jnp.where(_iota_w(wp) < w, _u8(t + (t - lp) * 1.6), 0.0)
+        # chroma: 3 lowpasses @422 rate, clampu8 delayed writeback
+        cd = speed.chroma_delay_gen1
+        xw2 = _iota_w(wp2)
+
+        def chroma_lp(p):
+            sflt = _u8(_pole3(p, tt_ref[6], d_ref[6], 128.0, nb2))
+            shifted = jnp.roll(sflt, -cd, axis=-1)
+            out = jnp.where(xw2 < (w2 - cd), shifted, p)
+            return jnp.where(xw2 < w2, out, 0.0)
+
+        u = chroma_lp(u)
+        v = chroma_lp(v)
+    return y, u, v
+
+
+def _b_vblend(w2, wp2, u, v):
+    """In-kernel 2-line chroma blend with 128 init (single-tile only)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], 1), 0)
+    xw2 = _iota_w(wp2)
+
+    def vblend(p):
+        prev = jnp.roll(p, 1, axis=0)
+        prev = jnp.where(rows == 1, 128.0, prev)
+        blended = jnp.floor((prev + p + 1.0) / 2.0)
+        blended = jnp.where(rows == 0, p, blended)
+        return jnp.where(xw2 < w2, blended, 0.0)
+
+    return vblend(u), vblend(v)
+
+
+def _b_back(cfg, w, wp, w2, wp2, y, u, v, xi_col, keep, tt_ref, d_ref,
+            ed, eu):
+    """Sharpen + recombine + dropout + output lowpass (row-independent)."""
+    nb = wp // BLOCK
+    nb2 = wp2 // BLOCK
+    xw2 = _iota_w(wp2)
+
+    if cfg.emulating_vhs:
+        # sharpen: luma x1.5 at 2x cut, chroma x0.85 at 2x cut
+        ts = _pole3(y, tt_ref[7], d_ref[7], 16.0, nb)
+        y = jnp.where(_iota_w(wp) < w,
+                      _u8(y + (y - ts) * cfg.vhs_out_sharpen), 0.0)
+
+        def sharpen_c(p):
+            tsc = _pole3(p, tt_ref[8], d_ref[8], 128.0, nb2)
+            out = _u8(p + (p - tsc) * cfg.vhs_out_sharpen_chroma)
+            return jnp.where(xw2 < w2, out, 0.0)
+
+        u = sharpen_c(u)
+        v = sharpen_c(v)
+        if not cfg.vhs_svideo_out:
+            y = _qam_encode_u8(y, u, v, xi_col,
+                               cfg.subcarrier_amplitude, eu, w, wp)
+            y, u, v = _qam_decode_u8(y, xi_col,
+                                     cfg.subcarrier_amplitude, ed, w, wp)
+
+    if cfg.video_chroma_loss != 0:
+        u = u * keep + 128.0 * (1.0 - keep)
+        v = v * keep + 128.0 * (1.0 - keep)
+        u = jnp.where(xw2 < w2, u, 0.0)
+        v = jnp.where(xw2 < w2, v, 0.0)
+
+    for _ in range(cfg.video_yc_recombine):
+        y = _qam_encode_u8(y, u, v, xi_col, cfg.subcarrier_amplitude,
+                           eu, w, wp)
+        y, u, v = _qam_decode_u8(y, xi_col, cfg.subcarrier_amplitude,
+                                 ed, w, wp)
+
+    if cfg.composite_out_chroma_lowpass:
+        u_delay = 2
+        v_delay = 4 if cfg.ntsc else 2
+        u = _chroma_lowpass_full(u, tt_ref[1], d_ref[1],
+                                 tt_ref[0], d_ref[0], u_delay, w2, wp2)
+        v = _chroma_lowpass_full(v, tt_ref[3], d_ref[3],
+                                 tt_ref[2], d_ref[2], v_delay, w2, wp2)
+    elif cfg.composite_out_chroma_lowpass_lite:
+        u = _chroma_lowpass_lite(u, tt_ref[9], d_ref[9], w2, wp2)
+        v = _chroma_lowpass_lite(v, tt_ref[9], d_ref[9], w2, wp2)
+    return y, u, v
+
+
+def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
+    """Single-tile kernel: full field resident, in-kernel vertical blend."""
 
     def kernel(y_ref, xi_ref, cn_ref, sc_ref, drop_ref, tt_ref, d_ref,
                ed_ref, eu_ref, y_out, u_out, v_out):
-        y = y_ref[0]
         xi_col = xi_ref[0].astype(jnp.int32)
-        ed = ed_ref[...]
-        eu = eu_ref[...]
+        y, u, v = _b_front(cfg, w, wp, w2, wp2, y_ref[0], xi_col,
+                           cn_ref[0, 0], cn_ref[0, 1],
+                           sc_ref[0, :, 0:1], sc_ref[0, :, 1:2],
+                           tt_ref, d_ref, ed_ref[...])
+        if cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc:
+            u, v = _b_vblend(w2, wp2, u, v)
+        y, u, v = _b_back(cfg, w, wp, w2, wp2, y, u, v, xi_col, drop_ref[0],
+                          tt_ref, d_ref, ed_ref[...], eu_ref[...])
+        y_out[0] = y
+        u_out[0] = u
+        v_out[0] = v
 
-        y, u, v = _qam_decode_u8(y, xi_col, cfg.subcarrier_amplitude_back,
-                                 ed, w, wp)
+    return kernel
 
-        if do_cnoise:
-            u = _u8(u + cn_ref[0, 0])
-            v = _u8(v + cn_ref[0, 1])
 
-        if do_pnoise:
-            sin_a = sc_ref[0, :, 0:1]
-            cos_a = sc_ref[0, :, 1:2]
-            uu = u - 128.0
-            vv = v - 128.0
-            # gen-1 rotation-matrix bug (ffmpeg_to_composite.cpp:772)
-            u = _u8(uu * cos_a - uu * sin_a + 128.0)
-            v = _u8(vv * cos_a + vv * sin_a + 128.0)
+def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
+    """Tiled-mode front half."""
 
-        if cfg.emulating_vhs:
-            # luma: 3 lowpasses then emphasis vs a 4th same-cut pole
-            t = _pole3(y, tt_ref[5], d_ref[5], 16.0, nb)
-            lp = _pole(t, tt_ref[5], d_ref[5], 16.0, nb)
-            y = jnp.where(_iota_w(wp) < w, _u8(t + (t - lp) * 1.6), 0.0)
-            # chroma: 3 lowpasses @422 rate, clampu8 delayed writeback
-            cd = speed.chroma_delay_gen1
-            xw2 = _iota_w(wp2)
+    def kernel(y_ref, xi_ref, cn_ref, sc_ref, tt_ref, d_ref, ed_ref,
+               y_out, u_out, v_out):
+        xi_col = xi_ref[0].astype(jnp.int32)
+        y, u, v = _b_front(cfg, w, wp, w2, wp2, y_ref[0], xi_col,
+                           cn_ref[0, 0], cn_ref[0, 1],
+                           sc_ref[0, :, 0:1], sc_ref[0, :, 1:2],
+                           tt_ref, d_ref, ed_ref[...])
+        y_out[0] = y
+        u_out[0] = u
+        v_out[0] = v
 
-            def chroma_lp(p):
-                sflt = _u8(_pole3(p, tt_ref[6], d_ref[6], 128.0, nb2))
-                shifted = jnp.roll(sflt, -cd, axis=-1)
-                out = jnp.where(xw2 < (w2 - cd), shifted, p)
-                return jnp.where(xw2 < w2, out, 0.0)
+    return kernel
 
-            u = chroma_lp(u)
-            v = chroma_lp(v)
-            if cfg.vhs_chroma_vert_blend and cfg.ntsc:
-                rows = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], 1), 0)
 
-                def vblend(p):
-                    prev = jnp.roll(p, 1, axis=0)
-                    prev = jnp.where(rows == 1, 128.0, prev)
-                    blended = jnp.floor((prev + p + 1.0) / 2.0)
-                    blended = jnp.where(rows == 0, p, blended)
-                    return jnp.where(xw2 < w2, blended, 0.0)
+def _make_kernel_b2(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
+    """Tiled-mode back half."""
 
-                u = vblend(u)
-                v = vblend(v)
-            # sharpen: luma x1.5 at 2x cut, chroma x0.85 at 2x cut
-            ts = _pole3(y, tt_ref[7], d_ref[7], 16.0, nb)
-            y = jnp.where(_iota_w(wp) < w,
-                          _u8(y + (y - ts) * cfg.vhs_out_sharpen), 0.0)
-
-            def sharpen_c(p):
-                tsc = _pole3(p, tt_ref[8], d_ref[8], 128.0, nb2)
-                out = _u8(p + (p - tsc) * cfg.vhs_out_sharpen_chroma)
-                return jnp.where(xw2 < w2, out, 0.0)
-
-            u = sharpen_c(u)
-            v = sharpen_c(v)
-            if not cfg.vhs_svideo_out:
-                y = _qam_encode_u8(y, u, v, xi_col,
-                                   cfg.subcarrier_amplitude, eu, w, wp)
-                y, u, v = _qam_decode_u8(y, xi_col,
-                                         cfg.subcarrier_amplitude, ed, w, wp)
-
-        if do_drop:
-            keep = drop_ref[0]
-            u = u * keep + 128.0 * (1.0 - keep)
-            v = v * keep + 128.0 * (1.0 - keep)
-            xw2 = _iota_w(wp2)
-            u = jnp.where(xw2 < w2, u, 0.0)
-            v = jnp.where(xw2 < w2, v, 0.0)
-
-        for _ in range(cfg.video_yc_recombine):
-            y = _qam_encode_u8(y, u, v, xi_col, cfg.subcarrier_amplitude,
-                               eu, w, wp)
-            y, u, v = _qam_decode_u8(y, xi_col, cfg.subcarrier_amplitude,
-                                     ed, w, wp)
-
-        if cfg.composite_out_chroma_lowpass:
-            u_delay = 2
-            v_delay = 4 if cfg.ntsc else 2
-            u = _chroma_lowpass_full(u, tt_ref[1], d_ref[1],
-                                     tt_ref[0], d_ref[0], u_delay, w2, wp2)
-            v = _chroma_lowpass_full(v, tt_ref[3], d_ref[3],
-                                     tt_ref[2], d_ref[2], v_delay, w2, wp2)
-        elif cfg.composite_out_chroma_lowpass_lite:
-            u = _chroma_lowpass_lite(u, tt_ref[9], d_ref[9], w2, wp2)
-            v = _chroma_lowpass_lite(v, tt_ref[9], d_ref[9], w2, wp2)
-
+    def kernel(y_ref, u_ref, v_ref, xi_ref, drop_ref, tt_ref, d_ref,
+               ed_ref, eu_ref, y_out, u_out, v_out):
+        xi_col = xi_ref[0].astype(jnp.int32)
+        y, u, v = _b_back(cfg, w, wp, w2, wp2, y_ref[0], u_ref[0], v_ref[0],
+                          xi_col, drop_ref[0], tt_ref, d_ref,
+                          ed_ref[...], eu_ref[...])
         y_out[0] = y
         u_out[0] = u
         v_out[0] = v
@@ -319,8 +384,8 @@ def composite_video_process_fused(
     y = jnp.asarray(y, jnp.int32)
     b, l, w = y.shape
     w2 = w // 2
-    wp = -(-w // BLOCK) * BLOCK
     wp2 = -(-w2 // BLOCK) * BLOCK
+    wp = 2 * wp2   # block-local stride-2 selection requires wp == 2*wp2
     dtype = jnp.float32
 
     xi = scanline_phase_xi(
@@ -357,46 +422,68 @@ def composite_video_process_fused(
     tt_np, d_np = _alpha_consts_gen1(cfg)
     tts = jnp.asarray(tt_np)
     ds = jnp.asarray(d_np)
-    ed_np, eu_np = _pick_matrices(wp, wp2)
+    ed_np, eu_np = _pick_matrices()
     ed = jnp.asarray(ed_np)
     eu = jnp.asarray(eu_np)
+
+    # line tiling (see fused_yiq.py): single tile keeps vblend in-kernel;
+    # larger rasters tile the row axis with vblend in XLA between halves
+    if l * wp <= min(_SINGLE_TILE_BUDGET, max(_TILE_BUDGET, 1) * 2):
+        tl = l
+    else:
+        tl = 256
+        while tl * wp > _TILE_BUDGET and tl > 8:
+            tl //= 2
+    n_lt = -(-l // tl)
+    lp = n_lt * tl
+    single_tile = (n_lt == 1)
 
     def padw(a, width, target):
         return jnp.concatenate(
             [a, jnp.zeros(a.shape[:-1] + (target - width,), a.dtype)],
             axis=-1) if target != width else a
 
-    yf = padw(y.astype(dtype), w, wp)
-    uf = padw(u.astype(jnp.int32).astype(dtype), w2, wp2)
-    vf = padw(v.astype(jnp.int32).astype(dtype), w2, wp2)
-    vwalk_p = padw(vwalk, w, wp)
-    cwalk_p = padw(cwalk, w2, wp2)
-    xi_col = xi[..., None].astype(jnp.float32)
+    def padl(a):
+        if lp != l:
+            pad_shape = a.shape[:1] + (lp - l,) + a.shape[2:]
+            a = jnp.concatenate([a, jnp.zeros(pad_shape, a.dtype)], axis=1)
+        return a
 
-    spec_full = pl.BlockSpec((1, l, wp), lambda i: (i, 0, 0),
+    yf = padl(padw(y.astype(dtype), w, wp))
+    uf = padl(padw(u.astype(jnp.int32).astype(dtype), w2, wp2))
+    vf = padl(padw(v.astype(jnp.int32).astype(dtype), w2, wp2))
+    vwalk_p = padl(padw(vwalk, w, wp))
+    cwalk_p = jnp.swapaxes(
+        padl(jnp.swapaxes(padw(cwalk, w2, wp2), 1, 2)), 1, 2)
+    xi_col = padl(xi[..., None].astype(jnp.float32))
+    sincos_p = padl(sincos)
+    keep_p = padl(keep)
+
+    spec_full = pl.BlockSpec((1, tl, wp), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
-    spec_half = pl.BlockSpec((1, l, wp2), lambda i: (i, 0, 0),
+    spec_half = pl.BlockSpec((1, tl, wp2), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM)
-    spec_col = pl.BlockSpec((1, l, 1), lambda i: (i, 0, 0),
+    spec_col = pl.BlockSpec((1, tl, 1), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
-    spec_sc = pl.BlockSpec((1, l, 2), lambda i: (i, 0, 0),
+    spec_sc = pl.BlockSpec((1, tl, 2), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
-    spec_tt = pl.BlockSpec(tt_np.shape, lambda i: (0, 0, 0),
+    spec_tt = pl.BlockSpec(tt_np.shape, lambda i, j: (0, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_d = pl.BlockSpec(d_np.shape, lambda i: (0, 0),
+    spec_d = pl.BlockSpec(d_np.shape, lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
-    spec_ed = pl.BlockSpec(ed_np.shape, lambda i: (0, 0),
+    spec_ed = pl.BlockSpec(ed_np.shape, lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
-    spec_eu = pl.BlockSpec(eu_np.shape, lambda i: (0, 0),
+    spec_eu = pl.BlockSpec(eu_np.shape, lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
-    spec_cn = pl.BlockSpec((1, 2, l, wp2), lambda i: (i, 0, 0, 0),
+    spec_cn = pl.BlockSpec((1, 2, tl, wp2), lambda i, j: (i, 0, j, 0),
                            memory_space=pltpu.VMEM)
+    grid = (b, n_lt)
 
     kernel_a = _make_kernel_a(cfg, w, wp, w2, wp2)
     y_enc = pl.pallas_call(
         kernel_a,
-        out_shape=jax.ShapeDtypeStruct((b, l, wp), dtype),
-        grid=(b,),
+        out_shape=jax.ShapeDtypeStruct((b, lp, wp), dtype),
+        grid=grid,
         in_specs=[spec_full, spec_half, spec_half, spec_col, spec_full,
                   spec_tt, spec_d, spec_eu],
         out_specs=spec_full,
@@ -405,26 +492,67 @@ def composite_video_process_fused(
 
     if cfg.vhs_head_switching:
         y_hs = yiq_mod.head_switching_stage(
-            y_enc[..., :w].astype(jnp.int32), field_parity, keys[1],
+            y_enc[:, :l, :w].astype(jnp.int32), field_parity, keys[1],
             point=cfg.vhs_head_switching_point,
             phase=cfg.vhs_head_switching_point,   # gen-1: one phase for x and y
             phase_noise=cfg.vhs_head_switching_phase_noise,
             ntsc=cfg.ntsc, fill=16, dtype=dtype)
-        y_enc = padw(y_hs.astype(dtype), w, wp)
+        y_enc = padl(padw(y_hs.astype(dtype), w, wp))
 
-    kernel_b = _make_kernel_b(cfg, w, wp, w2, wp2)
-    y_o, u_o, v_o = pl.pallas_call(
-        kernel_b,
-        out_shape=(jax.ShapeDtypeStruct((b, l, wp), dtype),
-                   jax.ShapeDtypeStruct((b, l, wp2), dtype),
-                   jax.ShapeDtypeStruct((b, l, wp2), dtype)),
-        grid=(b,),
-        in_specs=[spec_full, spec_col, spec_cn, spec_sc, spec_col,
-                  spec_tt, spec_d, spec_ed, spec_eu],
-        out_specs=(spec_full, spec_half, spec_half),
-        interpret=interpret,
-    )(y_enc, xi_col, cwalk_p, sincos, keep, tts, ds, ed, eu)
+    out_shapes = (jax.ShapeDtypeStruct((b, lp, wp), dtype),
+                  jax.ShapeDtypeStruct((b, lp, wp2), dtype),
+                  jax.ShapeDtypeStruct((b, lp, wp2), dtype))
+    do_vblend = (cfg.emulating_vhs and cfg.vhs_chroma_vert_blend
+                 and cfg.ntsc)
+    if single_tile:
+        kernel_b = _make_kernel_b(cfg, w, wp, w2, wp2)
+        y_o, u_o, v_o = pl.pallas_call(
+            kernel_b,
+            out_shape=out_shapes,
+            grid=grid,
+            in_specs=[spec_full, spec_col, spec_cn, spec_sc, spec_col,
+                      spec_tt, spec_d, spec_ed, spec_eu],
+            out_specs=(spec_full, spec_half, spec_half),
+            interpret=interpret,
+        )(y_enc, xi_col, cwalk_p, sincos_p, keep_p, tts, ds, ed, eu)
+    else:
+        kernel_b1 = _make_kernel_b1(cfg, w, wp, w2, wp2)
+        y2, u2, v2 = pl.pallas_call(
+            kernel_b1,
+            out_shape=out_shapes,
+            grid=grid,
+            in_specs=[spec_full, spec_col, spec_cn, spec_sc,
+                      spec_tt, spec_d, spec_ed],
+            out_specs=(spec_full, spec_half, spec_half),
+            interpret=interpret,
+        )(y_enc, xi_col, cwalk_p, sincos_p, tts, ds, ed)
+        if do_vblend:
+            xw2 = jnp.arange(wp2)[None, None, :]
 
-    return (y_o[..., :w].astype(jnp.int32),
-            u_o[..., :w2].astype(jnp.int32),
-            v_o[..., :w2].astype(jnp.int32))
+            def vblend(p):
+                pr = p[:, :l]
+                prev = jnp.concatenate(
+                    [jnp.zeros_like(pr[:, :1]), pr[:, :-1]], axis=1)
+                rows = jnp.arange(l)[None, :, None]
+                prev = jnp.where(rows == 1, 128.0, prev)
+                blended = jnp.floor((prev + pr + 1.0) / 2.0)
+                blended = jnp.where(rows == 0, pr, blended)
+                blended = jnp.where(xw2 < w2, blended, 0.0)
+                return padl(blended)
+
+            u2 = vblend(u2)
+            v2 = vblend(v2)
+        kernel_b2 = _make_kernel_b2(cfg, w, wp, w2, wp2)
+        y_o, u_o, v_o = pl.pallas_call(
+            kernel_b2,
+            out_shape=out_shapes,
+            grid=grid,
+            in_specs=[spec_full, spec_half, spec_half, spec_col, spec_col,
+                      spec_tt, spec_d, spec_ed, spec_eu],
+            out_specs=(spec_full, spec_half, spec_half),
+            interpret=interpret,
+        )(y2, u2, v2, xi_col, keep_p, tts, ds, ed, eu)
+
+    return (y_o[:, :l, :w].astype(jnp.int32),
+            u_o[:, :l, :w2].astype(jnp.int32),
+            v_o[:, :l, :w2].astype(jnp.int32))

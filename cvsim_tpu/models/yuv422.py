@@ -325,13 +325,10 @@ def composite_video_process_auto(y, u, v, fieldno, field_parity, key, *,
     debug taps the fused path doesn't carry."""
     import os
 
-    from cvsim_tpu.models.yiq import _fused_fits_vmem
-
     if (dtype == jnp.float32 and jax.default_backend() == "tpu"
             and os.environ.get("CVSIM_FUSED", "1") == "1"
             and not cfg.nocolor_subcarrier
-            and not cfg.nocolor_subcarrier_after_yc_sep
-            and _fused_fits_vmem(y.shape[-2], y.shape[-1])):
+            and not cfg.nocolor_subcarrier_after_yc_sep):
         from cvsim_tpu.models.fused_yuv import composite_video_process_fused
 
         return composite_video_process_fused(

@@ -171,3 +171,32 @@ def test_tiled_fused_non_divisible_rows():
         np.testing.assert_array_equal(a, b)
     finally:
         fused_yiq._TILE_BUDGET = old
+
+
+def test_gen1_tiled_fused_matches_xla():
+    from cvsim_tpu.models import fused_yuv, yuv422
+    from cvsim_tpu.models.fused_yuv import composite_video_process_fused
+
+    old = fused_yuv._TILE_BUDGET
+    fused_yuv._TILE_BUDGET = 16 * 128
+    try:
+        for name in ("full-ep-stochastic", "defaults-noise-off",
+                     "svideo-novblend"):
+            cfg = GEN1_CONFIGS[name]
+            rng = np.random.default_rng(hash(name) % 2**31)
+            B, L, W = 2, 48, 128
+            y = jnp.asarray(rng.integers(16, 236, (B, L, W)), jnp.int32)
+            u = jnp.asarray(rng.integers(16, 241, (B, L, W // 2)), jnp.int32)
+            v = jnp.asarray(rng.integers(16, 241, (B, L, W // 2)), jnp.int32)
+            fn = jnp.array([0, 1], jnp.int32)
+            par = jnp.array([0, 1], jnp.int32)
+            key = jax.random.PRNGKey(5)
+            a = yuv422.composite_video_process(
+                y, u, v, cfg=cfg, fieldno=fn, field_parity=par, key=key)
+            b = composite_video_process_fused(
+                y, u, v, fn, par, key, cfg=cfg, interpret=True)
+            for x1, x2 in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2),
+                                              err_msg=name)
+    finally:
+        fused_yuv._TILE_BUDGET = old
