@@ -93,9 +93,10 @@ class CompositePipeline:
             vs = jnp.stack([b[2] for b in padded])
             fieldnos = jnp.asarray([b[3] for b in padded], jnp.int32)
             parities = jnp.asarray([b[4] for b in padded], jnp.int32)
-            self.key, sub = jax.random.split(self.key)
+            # noise is content-addressed per (seed, fieldno, stage): pass the
+            # base key straight through so output is GOP- and restart-invariant
             y, u, v, self._filter_planes = self._process_batch(
-                ys, us, vs, fieldnos, parities, sub, self._filter_planes)
+                ys, us, vs, fieldnos, parities, self.key, self._filter_planes)
             inflight = (y, u, v, [(int(b[3]), int(b[4])) for b in batch])
         else:
             inflight = None

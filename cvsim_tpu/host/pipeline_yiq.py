@@ -79,8 +79,8 @@ class YIQPipeline:
             rgbs = jnp.stack([b[0] for b in padded])
             fieldnos = jnp.asarray([b[1] for b in padded], jnp.int32)
             parities = jnp.asarray([b[2] for b in padded], jnp.int32)
-            self.key, sub = jax.random.split(self.key)
-            out = self._process_batch(rgbs, fieldnos, parities, sub)
+            # content-addressed noise: base key passes straight through
+            out = self._process_batch(rgbs, fieldnos, parities, self.key)
             inflight = (out, [int(b[1]) for b in batch])
         else:
             inflight = None

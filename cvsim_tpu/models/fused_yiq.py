@@ -36,7 +36,12 @@ from cvsim_tpu.config import CompositeConfig, NTSC_RATE, iir_alpha
 from cvsim_tpu.models import yiq
 from cvsim_tpu.ops.blocked_iir import _decay_consts
 from cvsim_tpu.ops.cmath import c_int
-from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk
+from cvsim_tpu.ops.noise import (
+    field_stage_keys,
+    randint_per_field,
+    random_walk_per_field,
+    smoothed_noise_walk_per_field,
+)
 from cvsim_tpu.ops.phase import scanline_phase_xi
 
 BLOCK = 128
@@ -386,50 +391,35 @@ def composite_layer_rgb_fused(
         fieldno, field_parity, l,
         cfg.video_scanline_phase_shift, cfg.video_scanline_phase_shift_offset,
         cfg.ntsc, gen1=False)
-    keys = jax.random.split(key, 6)
+    keys = [field_stage_keys(key, fieldno, sid) for sid in range(5)]
 
     # --- precomputed stochastic inputs (same streams as composite_layer) ---
-    # The three big walks share one blocked-IIR pass: per-row math is
-    # identical to separate calls (the scan axis is the last one), so the
-    # streams stay bit-equal to the stage-by-stage path.
-    if cfg.video_noise != 0 and cfg.video_chroma_noise != 0:
-        uv = jax.random.randint(
-            keys[0], (b, 1, l * w), -cfg.video_noise,
-            cfg.video_noise + 1).astype(dtype)
-        uc = jax.random.randint(
-            keys[2], (b, 2, l * w), -cfg.video_chroma_noise,
-            cfg.video_chroma_noise + 1).astype(dtype)
-        u_all = jnp.concatenate([uv, uc], axis=1)
+    if cfg.video_noise != 0:
+        vwalk = c_int(smoothed_noise_walk_per_field(
+            keys[0], l * w, cfg.video_noise, dtype=dtype)).reshape(b, l, w)
+    else:
+        vwalk = jnp.zeros((b, l, w), dtype)
+    if cfg.video_chroma_noise != 0:
+        u = randint_per_field(keys[2], (2, l * w), -cfg.video_chroma_noise,
+                              cfg.video_chroma_noise + 1).astype(dtype)
         from cvsim_tpu.ops.iir import iir_lowpass
 
-        post = iir_lowpass(u_all, 0.5, 0.0)
-        walk = c_int(jnp.concatenate(
-            [jnp.zeros((b, 3, 1), dtype), post[..., :-1]], axis=-1))
-        vwalk = walk[:, 0].reshape(b, l, w)
-        cwalk = walk[:, 1:].reshape(b, 2, l, w)
+        post = iir_lowpass(u, 0.5, 0.0, axis=-1)
+        cwalk = c_int(jnp.concatenate(
+            [jnp.zeros_like(post[..., :1]), post[..., :-1]],
+            axis=-1)).reshape(b, 2, l, w)
     else:
-        if cfg.video_noise != 0:
-            vwalk = c_int(smoothed_noise_walk(
-                keys[0], (b, l * w), cfg.video_noise,
-                dtype=dtype)).reshape(b, l, w)
-        else:
-            vwalk = jnp.zeros((b, l, w), dtype)
-        if cfg.video_chroma_noise != 0:
-            cwalk = c_int(smoothed_noise_walk(
-                keys[2], (b, 2, l * w), cfg.video_chroma_noise,
-                dtype=dtype)).reshape(b, 2, l, w)
-        else:
-            cwalk = jnp.zeros((b, 2, l, w), dtype)
+        cwalk = jnp.zeros((b, 2, l, w), dtype)
     if cfg.video_chroma_phase_noise != 0:
-        pwalk = random_walk(keys[3], (b, l), cfg.video_chroma_phase_noise,
-                            dtype=dtype)
+        pwalk = random_walk_per_field(keys[3], l, cfg.video_chroma_phase_noise,
+                                      dtype=dtype)
         ang = c_int(pwalk) * jnp.asarray(jnp.pi / 100.0, dtype)
         sincos = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [B, L, 2]
     else:
         zeros = jnp.zeros((b, l), dtype)
         sincos = jnp.stack([zeros, zeros + 1.0], axis=-1)
     if cfg.video_chroma_loss != 0:
-        rr = jax.random.randint(keys[4], (b, l), 0, 100000)
+        rr = randint_per_field(keys[4], (l,), 0, 100000)
         keep = (rr >= cfg.video_chroma_loss).astype(dtype)[..., None]  # [B,L,1]
     else:
         keep = jnp.ones((b, l, 1), dtype)

@@ -35,7 +35,12 @@ from cvsim_tpu.models import yiq as yiq_mod
 from cvsim_tpu.models.fused_yiq import _pole, _pole3, _iota_w, _cdiv
 from cvsim_tpu.ops.blocked_iir import _decay_consts
 from cvsim_tpu.ops.cmath import c_int
-from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk
+from cvsim_tpu.ops.noise import (
+    field_stage_keys,
+    randint_per_field,
+    random_walk_per_field,
+    smoothed_noise_walk_per_field,
+)
 from cvsim_tpu.ops.phase import scanline_phase_xi
 
 BLOCK = 128
@@ -392,29 +397,34 @@ def composite_video_process_fused(
         fieldno, field_parity, l,
         cfg.video_scanline_phase_shift, cfg.video_scanline_phase_shift_offset,
         cfg.ntsc, gen1=True)
-    keys = jax.random.split(key, 6)
+    keys = [field_stage_keys(key, fieldno, sid) for sid in range(5)]
 
     if cfg.video_noise != 0:
-        vwalk = c_int(smoothed_noise_walk(
-            keys[0], (b, l * w), cfg.video_noise, dtype=dtype)).reshape(b, l, w)
+        vwalk = c_int(smoothed_noise_walk_per_field(
+            keys[0], l * w, cfg.video_noise, dtype=dtype)).reshape(b, l, w)
     else:
         vwalk = jnp.zeros((b, l, w), dtype)
     if cfg.video_chroma_noise != 0:
-        cwalk = c_int(smoothed_noise_walk(
-            keys[2], (b, 2, l * w2), cfg.video_chroma_noise,
-            dtype=dtype)).reshape(b, 2, l, w2)
+        uu = randint_per_field(keys[2], (2, l * w2), -cfg.video_chroma_noise,
+                               cfg.video_chroma_noise + 1).astype(dtype)
+        from cvsim_tpu.ops.iir import iir_lowpass
+
+        post = iir_lowpass(uu, 0.5, 0.0, axis=-1)
+        cwalk = c_int(jnp.concatenate(
+            [jnp.zeros_like(post[..., :1]), post[..., :-1]],
+            axis=-1)).reshape(b, 2, l, w2)
     else:
         cwalk = jnp.zeros((b, 2, l, w2), dtype)
     if cfg.video_chroma_phase_noise != 0:
-        pwalk = random_walk(keys[3], (b, l), cfg.video_chroma_phase_noise,
-                            dtype=dtype)
+        pwalk = random_walk_per_field(keys[3], l, cfg.video_chroma_phase_noise,
+                                      dtype=dtype)
         ang = c_int(pwalk) * jnp.asarray(jnp.pi / 100.0, dtype)
         sincos = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)
     else:
         zeros = jnp.zeros((b, l), dtype)
         sincos = jnp.stack([zeros, zeros + 1.0], axis=-1)
     if cfg.video_chroma_loss != 0:
-        rr = jax.random.randint(keys[4], (b, l), 0, 100000)
+        rr = randint_per_field(keys[4], (l,), 0, 100000)
         keep = (rr >= cfg.video_chroma_loss).astype(dtype)[..., None]
     else:
         keep = jnp.ones((b, l, 1), dtype)

@@ -36,7 +36,13 @@ from cvsim_tpu.ops.iir import (
     cascade_unsharp,
     delay_writeback,
 )
-from cvsim_tpu.ops.noise import random_walk, smoothed_noise_walk, uniform_pm1
+from cvsim_tpu.ops.noise import (
+    field_stage_keys,
+    randint_per_field,
+    random_walk_per_field,
+    smoothed_noise_walk_per_field,
+    uniform_pm1_per_field,
+)
 from cvsim_tpu.ops.phase import scanline_phase_xi
 from cvsim_tpu.ops.roll import roll_rows, select_by_phase
 
@@ -224,31 +230,36 @@ def composite_preemphasis_stage(y, pre_scale: float, pre_cut: float, dtype=jnp.f
     return c_int(s).astype(jnp.int32)
 
 
-def video_noise_stage(y, key, mag: int, dtype=jnp.float32):
+def video_noise_stage(y, keys, mag: int, dtype=jnp.float32):
     """Smoothed random-walk luma noise; the walk runs across the whole field
-    (scanlines concatenated), matching ffmpeg_ntsc.cpp:1631-1644."""
+    (scanlines concatenated), matching ffmpeg_ntsc.cpp:1631-1644. keys: [B]
+    per-field keys (field_stage_keys) so noise is batch-invariant."""
     b, l, w = y.shape
-    walk = smoothed_noise_walk(key, (b, l * w), mag, dtype=dtype)
+    walk = smoothed_noise_walk_per_field(keys, l * w, mag, dtype=dtype)
     return y + c_int(walk).astype(jnp.int32).reshape(b, l, w)
 
 
-def chroma_noise_stage(i, q, key, mag: int, dtype=jnp.float32):
-    """ffmpeg_ntsc.cpp:1718-1735 — independent walks on I and Q (computed as
-    one batched walk over [B, 2, L*W] to halve the scan passes)."""
+def chroma_noise_stage(i, q, keys, mag: int, dtype=jnp.float32):
+    """ffmpeg_ntsc.cpp:1718-1735 — independent walks on I and Q (one batched
+    walk over [B, 2, L*W]); keys: [B] per-field keys."""
     b, l, w = i.shape
-    wk = smoothed_noise_walk(key, (b, 2, l * w), mag, dtype=dtype)
+    u = randint_per_field(keys, (2, l * w), -mag, mag + 1).astype(dtype)
+    from cvsim_tpu.ops.iir import iir_lowpass
+    post = iir_lowpass(u, 0.5, 0.0, axis=-1)
+    wk = jnp.concatenate([jnp.zeros_like(post[..., :1]), post[..., :-1]],
+                         axis=-1)
     wk = c_int(wk).astype(jnp.int32).reshape(b, 2, l, w)
     return i + wk[:, 0], q + wk[:, 1]
 
 
-def chroma_phase_noise_stage(i, q, key, mag: int, gen1_bug: bool = False, dtype=jnp.float32):
+def chroma_phase_noise_stage(i, q, keys, mag: int, gen1_bug: bool = False, dtype=jnp.float32):
     """Per-scanline random-walk phase rotation (ffmpeg_ntsc.cpp:1736-1764).
 
     gen1_bug reproduces ffmpeg_to_composite.cpp:772's rotation-matrix typo
-    (u' = u*cos - u*sin; v' = v*cos + v*sin).
+    (u' = u*cos - u*sin; v' = v*cos + v*sin). keys: [B] per-field keys.
     """
     b, l, w = i.shape
-    walk = random_walk(key, (b, l), mag, dtype=dtype)    # post-update, 1 step/line
+    walk = random_walk_per_field(keys, l, mag, dtype=dtype)  # post-update
     pi_ang = c_int(walk) * jnp.asarray(jnp.pi / 100.0, dtype)
     s = jnp.sin(pi_ang)[..., None]
     c = jnp.cos(pi_ang)[..., None]
@@ -284,7 +295,7 @@ def _head_switch_shift_schedule(ishif, l_start, num_lines, max_pre: int = 64):
 
 
 def head_switching_stage(
-    y, field_parity, key, *,
+    y, field_parity, keys, *,
     point: float, phase: float, phase_noise: float,
     ntsc: bool = True, fill: int = 0, dtype=jnp.float32,
 ):
@@ -300,7 +311,7 @@ def head_switching_stage(
     t = twidth * tlines
 
     if phase_noise != 0:
-        noise = uniform_pm1(key, (b,), dtype) * jnp.asarray(phase_noise, dtype)
+        noise = uniform_pm1_per_field(keys, dtype) * jnp.asarray(phase_noise, dtype)
     else:
         noise = jnp.zeros((b,), dtype)
 
@@ -335,10 +346,11 @@ def head_switching_stage(
     return jax.vmap(one_field)(y, shifts, w0)
 
 
-def chroma_dropout_stage(i, q, key, loss: int):
-    """Per-scanline chroma wipe: rand()%100000 < loss (ffmpeg_ntsc.cpp:1891-1901)."""
+def chroma_dropout_stage(i, q, keys, loss: int):
+    """Per-scanline chroma wipe: rand()%100000 < loss (ffmpeg_ntsc.cpp:1891-1901).
+    keys: [B] per-field keys."""
     b, l, _ = i.shape
-    r = jax.random.randint(key, (b, l), 0, 100000)
+    r = randint_per_field(keys, (l,), 0, 100000)
     mask = (r < loss)[..., None]
     return jnp.where(mask, 0, i), jnp.where(mask, 0, q)
 
@@ -412,7 +424,9 @@ def composite_layer(
         cfg.video_scanline_phase_shift, cfg.video_scanline_phase_shift_offset,
         cfg.ntsc, gen1=False,
     )
-    keys = jax.random.split(key, 6)
+    # content-addressed noise: per (field, stage) keys -> output is
+    # independent of batching (GOP size, restarts)
+    keys = [field_stage_keys(key, fieldno, sid) for sid in range(5)]
 
     if cfg.composite_in_chroma_lowpass:
         i, q = composite_lowpass(i, q, ntsc=cfg.ntsc, dtype=dtype)

@@ -29,7 +29,12 @@ from cvsim_tpu.ops.iir import (
     delay_writeback,
     iir_highpass,
 )
-from cvsim_tpu.ops.noise import smoothed_noise_walk, random_walk
+from cvsim_tpu.ops.noise import (
+    field_stage_keys,
+    randint_per_field,
+    random_walk_per_field,
+    smoothed_noise_walk_per_field,
+)
 from cvsim_tpu.ops.phase import scanline_phase_xi
 from cvsim_tpu.models.yiq import (
     head_switching_stage,
@@ -139,26 +144,32 @@ def composite_preemphasis_stage(y, pre_scale: float, pre_cut: float, dtype=jnp.f
     return _U8(s)
 
 
-def video_noise_stage(y, key, mag: int, dtype=jnp.float32):
-    """ffmpeg_to_composite.cpp:653-665 (clampu8 at every sample)."""
+def video_noise_stage(y, keys, mag: int, dtype=jnp.float32):
+    """ffmpeg_to_composite.cpp:653-665 (clampu8 at every sample); keys: [B]
+    per-field keys."""
     b, l, w = y.shape
-    walk = smoothed_noise_walk(key, (b, l * w), mag, dtype=dtype)
+    walk = smoothed_noise_walk_per_field(keys, l * w, mag, dtype=dtype)
     return _U8(y + c_int(walk).astype(jnp.int32).reshape(b, l, w))
 
 
-def chroma_noise_stage(u, v, key, mag: int, dtype=jnp.float32):
-    """ffmpeg_to_composite.cpp:738-754 (one batched walk for both planes)."""
+def chroma_noise_stage(u, v, keys, mag: int, dtype=jnp.float32):
+    """ffmpeg_to_composite.cpp:738-754 (one batched walk for both planes);
+    keys: [B] per-field keys."""
     b, l, w2 = u.shape
-    wk = smoothed_noise_walk(key, (b, 2, l * w2), mag, dtype=dtype)
+    uu = randint_per_field(keys, (2, l * w2), -mag, mag + 1).astype(dtype)
+    from cvsim_tpu.ops.iir import iir_lowpass
+    post = iir_lowpass(uu, 0.5, 0.0, axis=-1)
+    wk = jnp.concatenate([jnp.zeros_like(post[..., :1]), post[..., :-1]],
+                         axis=-1)
     wk = c_int(wk).astype(jnp.int32).reshape(b, 2, l, w2)
     return _U8(u + wk[:, 0]), _U8(v + wk[:, 1])
 
 
-def chroma_phase_noise_stage(u, v, key, mag: int, dtype=jnp.float32):
+def chroma_phase_noise_stage(u, v, keys, mag: int, dtype=jnp.float32):
     """ffmpeg_to_composite.cpp:755-780 — keeps the reference's rotation-matrix
-    bug (u' = u*cos - u*sin, v' = v*cos + v*sin)."""
+    bug (u' = u*cos - u*sin, v' = v*cos + v*sin). keys: [B] per-field."""
     b, l, _ = u.shape
-    walk = random_walk(key, (b, l), mag, dtype=dtype)
+    walk = random_walk_per_field(keys, l, mag, dtype=dtype)
     ang = c_int(walk) * jnp.asarray(jnp.pi / 100.0, dtype)
     s = jnp.sin(ang)[..., None]
     c = jnp.cos(ang)[..., None]
@@ -169,10 +180,11 @@ def chroma_phase_noise_stage(u, v, key, mag: int, dtype=jnp.float32):
     return _U8(u_ + 128), _U8(v_ + 128)
 
 
-def chroma_dropout_stage(u, v, key, loss: int):
-    """ffmpeg_to_composite.cpp:931-941 — wiped lines go to neutral 128."""
+def chroma_dropout_stage(u, v, keys, loss: int):
+    """ffmpeg_to_composite.cpp:931-941 — wiped lines go to neutral 128.
+    keys: [B] per-field keys."""
     b, l, _ = u.shape
-    r = jax.random.randint(key, (b, l), 0, 100000)
+    r = randint_per_field(keys, (l,), 0, 100000)
     mask = (r < loss)[..., None]
     return jnp.where(mask, 128, u), jnp.where(mask, 128, v)
 
@@ -249,7 +261,7 @@ def composite_video_process(
         cfg.video_scanline_phase_shift, cfg.video_scanline_phase_shift_offset,
         cfg.ntsc, gen1=True,
     )
-    keys = jax.random.split(key, 6)
+    keys = [field_stage_keys(key, fieldno, sid) for sid in range(5)]
 
     if cfg.composite_in_chroma_lowpass:
         u, v = chroma_lowpass(u, v, ntsc=cfg.ntsc, dtype=dtype)

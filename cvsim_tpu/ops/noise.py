@@ -48,3 +48,37 @@ def uniform_pm1(key, shape=(), dtype=jnp.float32):
     """Uniform in [-1, 1) — used for head-switching phase jitter
     (ffmpeg_to_composite.cpp:675-680)."""
     return jax.random.uniform(key, shape, dtype, -1.0, 1.0)
+
+
+def field_stage_keys(key, fieldno, stage: int):
+    """Content-addressed per-field keys: fold the field counter then a stage
+    id into the base key. Noise for field N is a pure function of
+    (seed, N, stage) — independent of how fields are batched (GOP size,
+    restarts), unlike per-batch key splitting."""
+    def one(f):
+        return jax.random.fold_in(jax.random.fold_in(key, f), stage)
+
+    return jax.vmap(one)(jnp.asarray(fieldno))
+
+
+def smoothed_noise_walk_per_field(keys, n: int, mag: int, dtype=jnp.float32):
+    """Per-field smoothed walks: keys [B] (from field_stage_keys), walk
+    length n per field. Returns [B, n] pre-update walk values."""
+    u = jax.vmap(lambda k: jax.random.randint(k, (n,), -mag, mag + 1))(keys)
+    post = iir_lowpass(u.astype(dtype), 0.5, 0.0, axis=-1)
+    head = jnp.zeros_like(post[..., :1])
+    return jnp.concatenate([head, post[..., :-1]], axis=-1)
+
+
+def random_walk_per_field(keys, n: int, mag: int, dtype=jnp.float32):
+    """Per-field post-update walks [B, n]."""
+    u = jax.vmap(lambda k: jax.random.randint(k, (n,), -mag, mag + 1))(keys)
+    return iir_lowpass(u.astype(dtype), 0.5, 0.0, axis=-1)
+
+
+def randint_per_field(keys, shape, lo, hi):
+    return jax.vmap(lambda k: jax.random.randint(k, shape, lo, hi))(keys)
+
+
+def uniform_pm1_per_field(keys, dtype=jnp.float32):
+    return jax.vmap(lambda k: jax.random.uniform(k, (), dtype, -1.0, 1.0))(keys)

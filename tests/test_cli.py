@@ -364,3 +364,26 @@ def test_transcode_window(tmp_path):
                "-noise", "0"])
     _, all_frames = read_all(full)
     assert len(frames) < len(all_frames)
+
+
+def test_output_gop_invariant_with_noise(tmp_path):
+    """Content-addressed noise: CLI output is identical regardless of the
+    internal GOP batch size, even with all stochastic stages on."""
+    from cvsim_tpu.host.pipeline import CompositePipeline
+    from cvsim_tpu.presets import parse_composite_flags
+
+    src = make_clip(str(tmp_path / "in.y4m"))
+    st = parse_composite_flags(
+        ["-width", str(W), "-vhs", "-vhs-speed", "ep", "-seed", "5"])
+    outs = {}
+    for gop in (3, 8):
+        cfg = st.to_run_config(gen1=True)
+        pipe = CompositePipeline(cfg, gop=gop, progress=False)
+        out = str(tmp_path / f"g{gop}.y4m")
+        with open(src, "rb") as fin, open(out, "wb") as fout:
+            pipe.run_video(y4m.Y4MReader(fin), fout)
+        outs[gop] = read_all(out)[1]
+    for f3, f8 in zip(outs[3], outs[8]):
+        np.testing.assert_array_equal(f3[0], f8[0])
+        np.testing.assert_array_equal(f3[1], f8[1])
+        np.testing.assert_array_equal(f3[2], f8[2])

@@ -17,8 +17,8 @@ from cvsim_tpu.models import yiq, yuv422
 
 L, W = 16, 128
 
-YIQ_HASH = "86151aad1bc19884cf18d5edcd55f57518a8fb87932eb61d31422b8899b34e64"
-YUV_HASH = "d6ce3155a456aa232b90617021d8defd23a80045477ee4bd706a976ce0b23dbd"
+YIQ_HASH = "969c89aa394b2874bfdf8eb83e23a39e9d8e7c2cd2320ffadc27b3d67da70242"
+YUV_HASH = "c5509a41b27fc57d0855ee7800163eca6b9a40fb908ea6c91d30bbbc34583a93"
 
 
 def _cfg():

@@ -139,3 +139,28 @@ def test_hd_1080_chain():
         rgb, jnp.array([0, 1], jnp.int32), jnp.array([0, 1], jnp.int32),
         jax.random.PRNGKey(0), cfg=cfg)
     assert np.asarray(out).shape == (2, 540, 1920, 3)
+
+
+def test_noise_is_batch_invariant():
+    """Content-addressed RNG: a field's stochastic output depends only on
+    (seed, fieldno), not on how fields are batched."""
+    cfg = CompositeConfig(video_noise=8, video_chroma_noise=12,
+                          video_chroma_phase_noise=4, video_chroma_loss=5000,
+                          vhs_head_switching=True,
+                          vhs_head_switching_point=0.15,
+                          vhs_head_switching_phase=0.15)
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.integers(0, 65280, (4, L, W)), jnp.int32)
+    i = jnp.asarray(rng.integers(-8000, 8000, (4, L, W)), jnp.int32)
+    q = jnp.asarray(rng.integers(-8000, 8000, (4, L, W)), jnp.int32)
+    fn = jnp.array([0, 1, 2, 3], jnp.int32)
+    par = jnp.array([0, 1, 0, 1], jnp.int32)
+    key = jax.random.PRNGKey(9)
+    full = yiq.composite_layer(y, i, q, cfg=cfg, fieldno=fn, field_parity=par,
+                               key=key)
+    for k in range(4):
+        single = yiq.composite_layer(
+            y[k:k+1], i[k:k+1], q[k:k+1], cfg=cfg, fieldno=fn[k:k+1],
+            field_parity=par[k:k+1], key=key)
+        for x1, x2 in zip(full, single):
+            np.testing.assert_array_equal(np.asarray(x1)[k], np.asarray(x2)[0])
