@@ -155,7 +155,11 @@ def main(argv=None):
         print(f"unknown command '{cmd}'", file=sys.stderr)
         return 1
     _enable_compile_cache()
-    return COMMANDS[cmd](argv[1:])
+    try:
+        return COMMANDS[cmd](argv[1:])
+    except ValueError as e:
+        print(f"cvsim {cmd}: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -82,12 +82,15 @@ class _ToolArgs:
                 self.per_input[-1] = cur
 
 
-def _frame_loop(args: _ToolArgs, per_field):
-    """Drive input frames at the output field rate; per_field(rgb_frame,
-    fieldno) -> RGB [H, W, 3] output frame."""
-    fin = open(args.inputs[0], "rb")
-    reader = y4m.Y4MReader(fin)
-    fps = reader.header.fps
+def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
+    """Drive input frames at the output field rate; per_field(frame(s),
+    fieldno) -> RGB [H, W, 3] output frame. With multi=True all inputs
+    advance in lockstep and per_field receives the list of current frames
+    (the reference's layered InputFile loop)."""
+    paths = args.inputs if multi else args.inputs[:1]
+    fins = [open(p, "rb") for p in paths]
+    readers = [y4m.Y4MReader(f) for f in fins]
+    fpss = [r.header.fps for r in readers]
     out_hdr = y4m.Y4MHeader(
         width=args.width, height=args.height, fps=args.field_rate,
         interlacing="p", aspect="4:3",
@@ -95,27 +98,32 @@ def _frame_loop(args: _ToolArgs, per_field):
     fout = open(args.output, "wb")
     writer = y4m.Y4MWriter(fout, out_hdr)
 
+    n = len(readers)
     current = 0
-    frame_idx = 0
-    frame = None
-    next_at = 0
-    it = iter(reader)
-    eof = False
+    frame_idx = [0] * n
+    frames = [None] * n
+    next_at = [0] * n
+    its = [iter(r) for r in readers]
+    eof = [False] * n
     while True:
-        while not eof and next_at <= current:
-            try:
-                yf, uf, vf = next(it)
-            except StopIteration:
-                eof = True
-                break
-            if uf is None:
-                uf = np.full_like(yf, 128)
-                vf = uf
-            frame = _scale_frame_to(yf, uf, vf, args.width, args.height)
-            frame_idx += 1
-            next_at = timing.frame_pts_to_field(frame_idx, fps, args.field_rate)
-        if frame is None or (eof and current >= next_at):
+        for k in range(n):
+            while not eof[k] and next_at[k] <= current:
+                try:
+                    yf, uf, vf = next(its[k])
+                except StopIteration:
+                    eof[k] = True
+                    break
+                if uf is None:
+                    uf = np.full_like(yf, 128)
+                    vf = uf
+                frames[k] = _scale_frame_to(yf, uf, vf, args.width, args.height)
+                frame_idx[k] += 1
+                next_at[k] = timing.frame_pts_to_field(
+                    frame_idx[k], fpss[k], args.field_rate)
+        if any(f is None for f in frames) or (
+                all(eof) and current >= max(next_at)):
             break
+        frame = frames if multi else frames[0]
         out_rgb = per_field(frame, current)
         y, u, v = rgb_to_yuv601(out_rgb[..., 0], out_rgb[..., 1], out_rgb[..., 2])
         y = np.asarray(y).astype(np.uint8)
@@ -128,7 +136,8 @@ def _frame_loop(args: _ToolArgs, per_field):
         print(f"\x0dOutput field {current} ", end="", file=sys.stderr)
         current += 1
     print("", file=sys.stderr)
-    fin.close()
+    for f in fins:
+        f.close()
     fout.close()
     return 0
 
@@ -162,7 +171,10 @@ def run_colormap(argv):
 
 def run_colorkey(argv):
     """ffmpeg_colorkey flags (:639-698): -color <argb> -threshhold -inv
-    -noise <n> -f <fade> -xd <n> -d <ring>."""
+    -noise <n> -f <fade> -xd <n> -d <ring>. Multiple -i inputs layer in
+    order, each keyed with ITS OWN settings (flags apply to the most recent
+    -i, and a new -i inherits the previous one's settings — the reference's
+    InputFile copy semantics)."""
     args = _ToolArgs(argv, extra={
         "color": (lambda v: int(v, 0), "color"),
         "threshhold": (int, "threshhold"),
@@ -171,51 +183,60 @@ def run_colorkey(argv):
         "f": (int, "fade"),
         "xd": (int, "xdivr"),
     })
-    color_int = args.extra.get("color", 0)
-    color = ((color_int >> 16) & 0xFF, (color_int >> 8) & 0xFF, color_int & 0xFF)
-    thr = args.extra.get("threshhold", 0)
-    inv = bool(args.extra.get("invert", False))
-    noisekey = args.extra.get("noisekey", 0)
-    fade = args.extra.get("fade", 0)
-    xdivr = args.extra.get("xdivr", 1)
 
+    def layer_fn(cfg):
+        color_int = cfg.get("color", 0)
+        color = ((color_int >> 16) & 0xFF, (color_int >> 8) & 0xFF,
+                 color_int & 0xFF)
+        return jax.jit(lambda dst, src, k: ops.colorkey_apply(
+            dst, src, k, color=color,
+            threshhold=cfg.get("threshhold", 0),
+            invert=bool(cfg.get("invert", False)),
+            noisekey=cfg.get("noisekey", 0),
+            fade=cfg.get("fade", 0),
+            xdivr=cfg.get("xdivr", 1)))
+
+    fns = [layer_fn(c) for c in (args.per_input or [args.extra])]
     ring = [jnp.zeros((args.height, args.width, 3), jnp.int32)
             for _ in range(args.delay)]
     idx = {"i": 0}
     key = {"k": jax.random.PRNGKey(0)}
 
-    fn = jax.jit(lambda dst, src, k: ops.colorkey_apply(
-        dst, src, k, color=color, threshhold=thr, invert=inv,
-        noisekey=noisekey, fade=fade, xdivr=xdivr))
-
-    def per_field(frame, fieldno):
-        key["k"], sub = jax.random.split(key["k"])
-        canvas = fn(ring[idx["i"]], frame, sub)
+    def per_field(frames, fieldno):
+        canvas = ring[idx["i"]]
+        for fn, frame in zip(fns, frames):
+            key["k"], sub = jax.random.split(key["k"])
+            canvas = fn(canvas, frame, sub)
         ring[idx["i"]] = canvas
         idx["i"] = (idx["i"] + 1) % args.delay
         return np.asarray(canvas)
 
-    return _frame_loop(args, per_field)
+    return _frame_loop(args, per_field, multi=True)
 
 
 def run_average_delay(argv):
-    """ffmpeg_average_delay flags (:619-655): -d <ring> -n <newlevel>."""
+    """ffmpeg_average_delay flags (:619-655): -d <ring> -n <newlevel>.
+    Multiple -i inputs blend into the ring canvas in order, each with its
+    own -n level (reference InputFile semantics)."""
     args = _ToolArgs(argv, extra={"n": (int, "newlevel")})
-    newlevel = args.extra.get("newlevel", 128)
+    cfgs = args.per_input or [args.extra]
+    fns = [jax.jit(lambda dst, src, fld, nl=c.get("newlevel", 128):
+                   ops.average_delay_blend(dst, src, fld, newlevel=nl,
+                                           delay=args.delay))
+           for c in cfgs]
     ring = [jnp.zeros((args.height, args.width, 3), jnp.int32)
             for _ in range(args.delay)]
     idx = {"i": 0}
 
-    fn = jax.jit(lambda dst, src, fld: ops.average_delay_blend(
-        dst, src, fld, newlevel=newlevel, delay=args.delay))
-
-    def per_field(frame, fieldno):
-        canvas = fn(ring[idx["i"]], frame, fieldno)
+    def per_field(frames, fieldno):
+        canvas = ring[idx["i"]]
+        for fn, frame in zip(fns, frames):
+            canvas = fn(canvas, frame, fieldno)
         ring[idx["i"]] = canvas
         idx["i"] = (idx["i"] + 1) % args.delay
         return np.asarray(canvas)
 
-    return _frame_loop(args, per_field)
+    return _frame_loop(args, per_field, multi=True)
 
 
 def run_scanimate(argv):

@@ -387,3 +387,29 @@ def test_output_gop_invariant_with_noise(tmp_path):
         np.testing.assert_array_equal(f3[0], f8[0])
         np.testing.assert_array_equal(f3[1], f8[1])
         np.testing.assert_array_equal(f3[2], f8[2])
+
+
+def test_colorkey_multi_input_layering(tmp_path):
+    """Two layers with per-input key settings: later -i settings apply only
+    to that input (reference InputFile semantics)."""
+    a = make_clip(str(tmp_path / "a.y4m"), seed=1)
+    b = make_clip(str(tmp_path / "b.y4m"), seed=2)
+    out = str(tmp_path / "out.y4m")
+    rc = main(["colorkey",
+               "-i", a, "-color", "0x101010", "-threshhold", "40",
+               "-i", b, "-threshhold", "200",   # second layer keys less
+               "-o", out, "-width", str(W)])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) == 8
+
+
+def test_average_delay_multi_input(tmp_path):
+    a = make_clip(str(tmp_path / "a.y4m"), seed=3)
+    b = make_clip(str(tmp_path / "b.y4m"), seed=4)
+    out = str(tmp_path / "out.y4m")
+    rc = main(["average-delay", "-i", a, "-n", "64", "-i", b, "-n", "200",
+               "-o", out, "-width", str(W), "-d", "2"])
+    assert rc == 0
+    _, frames = read_all(out)
+    assert len(frames) == 8
