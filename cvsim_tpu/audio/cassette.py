@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from cvsim_tpu.config import iir_alpha
 from cvsim_tpu.ops.cmath import clips16
 from cvsim_tpu.ops.iir import iir_lowpass
+from cvsim_tpu.ops.noise import hiss_per_sample
 from cvsim_tpu.audio.chains import _interleaved_stage
 
 
@@ -146,10 +147,11 @@ def cassette_audio_process(
     # 3. clip
     s = jnp.clip(s, -1.0, 1.0)
 
-    # 4. hiss
+    # 4. hiss (content-addressed per absolute sample index; callers pass one
+    # base key for the whole stream)
     if cfg.hiss_level != 0:
-        u = jax.random.randint(key, (n, c), -cfg.hiss_level,
-                               cfg.hiss_level + 1).astype(dtype)
+        u = hiss_per_sample(key, state.sample_count, n, c, cfg.hiss_level,
+                            dtype)
         s = s + u / 20000.0
 
     # 5. head-tilt convolution: windows [N, len, C] x kernels [N, len, C]

@@ -20,7 +20,11 @@ Stage order per sample (reference loop):
 
 Everything linear runs as parallel associative scans over the sample axis;
 the chain is a `(state, x) -> (state, y)` block so streaming in chunks with
-carried state is bit-identical to one-shot processing (tested).
+carried state matches one-shot processing: bit-identical in float64, and to
+within 1 int16 LSB in float32 (the blocked-IIR reduction tree varies with
+sequence length). Hiss is content-addressed per absolute sample index
+(ops/noise.hiss_per_sample), so callers pass ONE base key for the stream and
+any chunking yields the same noise.
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ import jax.numpy as jnp
 from cvsim_tpu.config import AudioConfig, iir_alpha
 from cvsim_tpu.ops.cmath import clips16
 from cvsim_tpu.ops.iir import iir_lowpass
+from cvsim_tpu.ops.noise import hiss_per_sample
 
 
 class AudioState(NamedTuple):
@@ -140,9 +145,12 @@ def composite_audio_process(
     s = jnp.clip(s, -1.0, 1.0)
 
     # --- 5. hiss -------------------------------------------------------------
+    # Content-addressed per absolute sample index: chunked streaming is
+    # bit-identical to one-shot, so callers pass ONE base key for the whole
+    # stream (no per-chunk splitting).
     level = cfg.hiss_level
     if level != 0:
-        u = jax.random.randint(key, (n, c), -level, level + 1).astype(dtype)
+        u = hiss_per_sample(key, state.sample_count, n, c, level, dtype)
         s = s + u / 20000.0
 
     # --- 6. linear high boost ------------------------------------------------

@@ -336,9 +336,8 @@ def run_cassette(argv):
     pos = 0
     chunk = 65536
     while pos < len(samples):
-        key, sub = jax.random.split(key)
         out, state = cassette_audio_process(
-            jnp.asarray(samples[pos:pos + chunk], jnp.int32), state, sub,
+            jnp.asarray(samples[pos:pos + chunk], jnp.int32), state, key,
             cfg=cfg)
         outs.append(np.asarray(out))
         pos += chunk

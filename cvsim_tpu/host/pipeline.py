@@ -258,9 +258,8 @@ class CompositePipeline:
             part = samples[pos:pos + chunk]
             pulses = (buzz_pulse_counts(acfg, pos, len(part))
                       if not acfg.vhs_hifi else None)
-            key, sub = jax.random.split(key)
             out, state = composite_audio_process(
-                jnp.asarray(part, jnp.int32), state, sub, cfg=acfg,
+                jnp.asarray(part, jnp.int32), state, key, cfg=acfg,
                 pulses=pulses, dtype=self.dtype)
             outs.append(np.asarray(out))
             pos += chunk

@@ -82,3 +82,16 @@ def randint_per_field(keys, shape, lo, hi):
 
 def uniform_pm1_per_field(keys, dtype=jnp.float32):
     return jax.vmap(lambda k: jax.random.uniform(k, (), dtype, -1.0, 1.0))(keys)
+
+
+def hiss_per_sample(key, start, n: int, c: int, level: int,
+                    dtype=jnp.float32):
+    """Content-addressed iid audio hiss: the noise added to sample t is a
+    pure function of (seed, absolute sample index start + t), so streaming
+    in chunks with a carried sample counter is bit-identical to one-shot
+    processing (mirrors field_stage_keys for video). Returns [n, c] in
+    [-level, level]."""
+    idx = start + jnp.arange(n, dtype=jnp.int32)
+    ks = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+    u = jax.vmap(lambda k: jax.random.randint(k, (c,), -level, level + 1))(ks)
+    return u.astype(dtype)

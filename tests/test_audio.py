@@ -151,3 +151,59 @@ def test_cassette_streaming_chunks():
         outs.append(np.asarray(out))
         pos += size
     assert_close_lsb(np.concatenate(outs), np.asarray(whole), lsb=1, frac=0.001)
+
+
+def test_streaming_equals_whole_with_hiss():
+    """Hiss is content-addressed per absolute sample index, so chunked
+    streaming with ONE base key is bit-identical to one-shot processing."""
+    cfg = AudioConfig(hiss_db=-40.0, vhs_hifi=False, channels=2,
+                      emulating_preemphasis=True, emulating_deemphasis=True)
+    assert cfg.hiss_level > 0
+    rng = np.random.default_rng(7)
+    audio = rng.integers(-20000, 20000, (4096, 2))
+    key = jax.random.PRNGKey(11)
+
+    def run(dtype, chunk):
+        whole, _ = composite_audio_process(
+            jnp.asarray(audio, jnp.int32), init_audio_state(cfg, dtype), key,
+            cfg=cfg, pulses=buzz_pulse_counts(cfg, 0, 4096), dtype=dtype)
+        state = init_audio_state(cfg, dtype)
+        outs = []
+        for pos in range(0, 4096, chunk):
+            part = audio[pos:pos + chunk]
+            out, state = composite_audio_process(
+                jnp.asarray(part, jnp.int32), state, key, cfg=cfg,
+                pulses=buzz_pulse_counts(cfg, pos, len(part)), dtype=dtype)
+            outs.append(np.asarray(out))
+        return np.concatenate(outs), np.asarray(whole)
+
+    # f64: bit-exact at any chunking (the hiss keys are content-addressed).
+    got, whole = run(jnp.float64, 1000)
+    np.testing.assert_array_equal(got, whole)
+    # f32: the blocked-IIR reduction tree depends on sequence length, so
+    # chunking may differ by 1 int16 LSB on rounding-boundary samples.
+    got, whole = run(jnp.float32, 1024)
+    assert np.abs(got.astype(np.int64) - whole.astype(np.int64)).max() <= 1
+
+
+def test_cassette_streaming_equals_whole_with_hiss():
+    from cvsim_tpu.audio.cassette import (
+        CassetteConfig, cassette_audio_process, init_cassette_state)
+    cfg = CassetteConfig(hiss_db=-50.0, head_tilt=1.1, head_tilt_waver=0.25,
+                         channels=2)
+    assert cfg.hiss_level > 0
+    rng = np.random.default_rng(8)
+    audio = rng.integers(-20000, 20000, (3000, 2))
+    key = jax.random.PRNGKey(12)
+
+    whole, _ = cassette_audio_process(
+        jnp.asarray(audio, jnp.int32), init_cassette_state(cfg), key, cfg=cfg)
+
+    state = init_cassette_state(cfg)
+    outs = []
+    for pos in range(0, 3000, 768):   # 768*2ch aligns to the IIR block grid
+        part = audio[pos:pos + 768]
+        out, state = cassette_audio_process(
+            jnp.asarray(part, jnp.int32), state, key, cfg=cfg)
+        outs.append(np.asarray(out))
+    np.testing.assert_array_equal(np.concatenate(outs), np.asarray(whole))
