@@ -316,8 +316,8 @@ def run_cassette(argv):
                             if k in CassetteConfig._fields})
     samples, rate = wavio.read_wav(in_path)
     if rate != cfg.rate:
-        from cvsim_tpu.host.pipeline import _resample_linear
-        samples = _resample_linear(samples, rate, cfg.rate)
+        from cvsim_tpu.host.pipeline import _resample_sinc
+        samples = _resample_sinc(samples, rate, cfg.rate)
     if ss >= 0 or se >= 0 or dur >= 0:
         if se < 0 and dur >= 0:
             se = max(ss, 0) + dur

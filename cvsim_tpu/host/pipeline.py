@@ -238,7 +238,7 @@ class CompositePipeline:
         acfg = cfg.audio
         samples, rate = wavio.read_wav(in_path)
         if rate != acfg.rate:
-            samples = _resample_linear(samples, rate, acfg.rate)
+            samples = _resample_sinc(samples, rate, acfg.rate)
         if samples.shape[1] != acfg.channels:
             samples = _remix(samples, acfg.channels)
         if cfg.transcode_start > 0 or cfg.transcode_end >= 0:
@@ -269,7 +269,9 @@ class CompositePipeline:
 
 
 def _resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int):
-    """Host-side linear resampler (the swr role, :1839-1866)."""
+    """Host-side linear resampler (kept for tiny inputs and as a reference
+    point; _resample_sinc is the production path for the swr role,
+    ffmpeg_to_composite.cpp:1839-1866)."""
     n = samples.shape[0]
     m = int(round(n * dst_rate / src_rate))
     xs = np.arange(m) * (n - 1) / max(1, m - 1)
@@ -277,6 +279,42 @@ def _resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int):
     x1 = np.minimum(x0 + 1, n - 1)
     f = (xs - x0)[:, None]
     out = samples[x0] * (1 - f) + samples[x1] * f
+    return np.round(out).astype(np.int64)
+
+
+def _resample_sinc(samples: np.ndarray, src_rate: int, dst_rate: int,
+                   taps: int = 32, beta: float = 8.6):
+    """Windowed-sinc (Kaiser) resampler — the quality tier of the swr role
+    (ffmpeg_to_composite.cpp:1839-1866). Direct per-output-sample evaluation,
+    vectorized in blocks: out[j] = sum_k x[k] * w(k - t_j) with
+    w = sinc(fc u) * kaiser(beta), fc = min(1, dst/src) for anti-aliased
+    downsampling; weights are renormalized per output sample so DC is exact
+    even at the edges. ~80 dB stopband at taps=32, beta=8.6."""
+    if src_rate == dst_rate:
+        return samples.astype(np.int64)
+    n = samples.shape[0]
+    m = int(round(n * dst_rate / src_rate))
+    if n < 2 * taps or m < 2:
+        return _resample_linear(samples, src_rate, dst_rate)
+    fc = min(1.0, dst_rate / src_rate)
+    half = taps // 2
+    x = samples.astype(np.float64)
+    i0 = np.i0(beta)
+    out = np.empty((m,) + samples.shape[1:], np.float64)
+    block = 1 << 16
+    ks = np.arange(-half + 1, half + 1, dtype=np.float64)   # [taps]
+    for j0 in range(0, m, block):
+        j1 = min(j0 + block, m)
+        t = np.arange(j0, j1, dtype=np.float64) * (src_rate / dst_rate)
+        base = np.floor(t).astype(np.int64)
+        frac = t - base
+        u = ks[None, :] - frac[:, None]                     # [J, taps]
+        w = np.sinc(fc * u) * fc
+        arg = 1.0 - (u / half) ** 2
+        w *= np.where(arg > 0, np.i0(beta * np.sqrt(np.maximum(arg, 0.0))), 0.0) / i0
+        w /= w.sum(axis=1, keepdims=True)
+        idx = np.clip(base[:, None] + ks.astype(np.int64)[None, :], 0, n - 1)
+        out[j0:j1] = np.einsum("jt,jt...->j...", w, x[idx])
     return np.round(out).astype(np.int64)
 
 

@@ -207,3 +207,29 @@ def test_cassette_streaming_equals_whole_with_hiss():
             jnp.asarray(part, jnp.int32), state, key, cfg=cfg)
         outs.append(np.asarray(out))
     np.testing.assert_array_equal(np.concatenate(outs), np.asarray(whole))
+
+
+def test_sinc_resampler_quality():
+    """Windowed-sinc resampler: clean in-band tones both directions, strong
+    alias rejection on downsample, exact DC."""
+    from cvsim_tpu.host.pipeline import _resample_sinc
+
+    def snr(y, ideal):
+        err = y[200:-200] - ideal[200:-200]
+        return 10 * np.log10((ideal[200:-200] ** 2).mean() / (err ** 2).mean())
+
+    t = np.arange(32000) / 32000.0
+    x = (20000 * np.sin(2 * np.pi * 1000.0 * t))[:, None].astype(np.int64)
+    y = _resample_sinc(x, 32000, 44100)[:, 0].astype(np.float64)
+    assert len(y) == 44100
+    ideal = 20000 * np.sin(2 * np.pi * 1000.0 * np.arange(len(y)) / 44100.0)
+    assert snr(y, ideal) > 70.0
+
+    # 15 kHz is above the 11.025 kHz output Nyquist: must be rejected
+    xx = (20000 * np.sin(2 * np.pi * 15000.0 * np.arange(44100) / 44100.0))
+    y = _resample_sinc(xx[:, None].astype(np.int64), 44100, 22050)[:, 0]
+    assert np.sqrt((y[200:-200].astype(np.float64) ** 2).mean()) < 200.0
+
+    dc = np.full((8000, 2), 12345, np.int64)
+    y = _resample_sinc(dc, 48000, 44100)
+    assert np.all(y == 12345)
