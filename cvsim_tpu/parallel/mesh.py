@@ -35,10 +35,20 @@ def _factor_2d(n: int) -> tuple[int, int]:
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """2-D ('dp', 'sp') mesh over the first n devices."""
+    """2-D ('dp', 'sp') mesh over the first n devices.
+
+    Raises if fewer than `n_devices` devices are visible — silently shrinking
+    the mesh would let an "8-way sharding" check pass on a 1x1 mesh."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devices)} "
+                f"device(s) visible on backend "
+                f"'{devices[0].platform if devices else '?'}'; for a virtual "
+                "CPU mesh set XLA_FLAGS=--xla_force_host_platform_device_count"
+                f"={n_devices} and force the cpu platform before backend init")
         devices = devices[:n_devices]
     dp, sp = _factor_2d(len(devices))
     return Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))

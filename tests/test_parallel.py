@@ -38,6 +38,15 @@ def test_sharded_chain_matches_single_device():
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_make_mesh_fails_loud_on_too_few_devices():
+    import pytest
+
+    with pytest.raises(ValueError, match="only 8 device"):
+        make_mesh(16)
+    assert make_mesh(8).devices.size == 8
+    assert make_mesh(4).devices.size == 4
+
+
 def test_graft_entry():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -46,5 +55,16 @@ def test_graft_entry():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == args[0].shape
+    # in-process worker on the virtual CPU mesh (what the subprocess runs)
+    ge._dryrun_multichip_inproc(8)
+    ge._dryrun_multichip_inproc(4)
+
+
+def test_graft_entry_dryrun_subprocess():
+    """The driver-facing entry point: must succeed from an arbitrary parent
+    process without touching a TPU client."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
     ge.dryrun_multichip(8)
-    ge.dryrun_multichip(4)
