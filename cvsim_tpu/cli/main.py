@@ -30,6 +30,26 @@ def _enable_compile_cache():
     jax.config.update("jax_compilation_cache_dir", path)
 
 
+def _prime_transfer_channel():
+    """Warm the host<->device transfer path in the background. On tunneled
+    TPU hosts the first D2H of a process performs a channel handshake that
+    can queue for seconds to minutes; doing a tiny round-trip concurrently
+    with demux/compile start-up hides it from the first real batch."""
+    import threading
+
+    def prime():
+        try:
+            import numpy as _np
+            import jax as _jax
+
+            x = _jax.device_put(_np.zeros(4096, _np.uint8))
+            _jax.device_get(x)
+        except Exception:
+            pass   # priming is best-effort; real transfers will pay instead
+
+    threading.Thread(target=prime, name="cvsim-prime", daemon=True).start()
+
+
 def _soft_sigint():
     """Soft Ctrl-C: finish the current batch and write the trailer; abort
     after 20 signals (reference DIE counter, ffmpeg_to_composite.cpp:62-66)."""
@@ -155,6 +175,7 @@ def main(argv=None):
         print(f"unknown command '{cmd}'", file=sys.stderr)
         return 1
     _enable_compile_cache()
+    _prime_transfer_channel()
     try:
         return COMMANDS[cmd](argv[1:])
     except ValueError as e:

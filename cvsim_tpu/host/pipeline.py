@@ -2,25 +2,45 @@
 pack -> mux (reference L2-L4 orchestration, ffmpeg_to_composite.cpp main
 :1957-2340).
 
-Fields are accumulated into GOP-sized device batches; the composite chain
-runs once per batch (jit, async dispatch overlaps the host's next batch
-assembly). The black-key feedback frame (:974-999) is the one genuinely
+Execution model (one dispatch per GOP, three overlapped stages):
+
+- **reader thread**: Y4M demux + PTS/field-clock targeting + GOP batch
+  assembly (host/batching.py). Raw uint8 frames plus precomputed row-gather
+  indices — no device calls.
+- **main thread**: ONE jit dispatch per GOP that does horizontal scale,
+  field render (the render_field index math as device gathers), black-key
+  feedback scan, the composite chain, and uint8 packing on device; output
+  copies start immediately via copy_to_host_async.
+- **writer thread**: blocks on D2H, packs bob/interlaced frames with pure
+  numpy row gathers, writes Y4M.
+
+The black-key feedback frame (:974-999) is the one genuinely
 frame-sequential piece — it runs as a lax.scan over the batch axis with the
-filter planes carried across batches on the host.
+filter planes carried across batches on the host side of the jit boundary.
 """
 
 from __future__ import annotations
 
+import queue
 import sys
+import threading
 from fractions import Fraction
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
 from cvsim_tpu.config import RunConfig
 from cvsim_tpu.host import fieldops, timing, wavio, y4m
-from cvsim_tpu.host.colorconv import hscale_bilinear
+from cvsim_tpu.host.batching import (
+    FieldBatcher,
+    hscale_consts,
+    render_index_tables,
+)
 from cvsim_tpu.models import yuv422
 from cvsim_tpu.audio import (
     buzz_pulse_counts,
@@ -42,6 +62,13 @@ def _bkey_scan(y, u, v, fy, fu, fv, level: int):
     return (oy, ou, ov), (fy, fu, fv)
 
 
+def _interleave_np(top: np.ndarray, bottom: np.ndarray) -> np.ndarray:
+    out = np.empty((top.shape[0] * 2, top.shape[1]), top.dtype)
+    out[0::2] = top
+    out[1::2] = bottom
+    return out
+
+
 class CompositePipeline:
     """Gen-1 flagship pipeline (ffmpeg_to_composite equivalent)."""
 
@@ -61,91 +88,134 @@ class CompositePipeline:
             jnp.full((l, w2), 128, jnp.int32),
             jnp.full((l, w2), 128, jnp.int32),
         )
+        self._programs = {}
+        self._bob_map_cache = {}
 
+    # ----------------------------------------------------------- device step
+
+    def _build_gop_program(self, src_h: int, src_w: int, chroma_h: int,
+                           chroma_w: int, src_interlaced: bool,
+                           src_tff: bool):
+        """One jit program per source geometry: flat-buffer unpack + hscale +
+        field render + black-key + chain + uint8 pack, all in a single
+        dispatch. Inputs are exactly two wire arrays (pix uint8, meta int32)
+        plus carried device state — the tunnel/PCIe RPC count per GOP is
+        what round 1 got wrong."""
+        cache_key = (src_h, src_w, chroma_h, chroma_w, src_interlaced,
+                     src_tff)
+        prog = self._programs.get(cache_key)
+        if prog is not None:
+            return prog
+
+        cfg = self.cfg
+        out = cfg.output
         ccfg = cfg.composite
         bkey = cfg.black_key_level_feedback
+        dtype = self.dtype
+        gop = self.gop
+        max_frames = gop // 2 + 2
+        luma_consts = hscale_consts(src_w, out.width)
+        chroma_consts = hscale_consts(chroma_w, out.width // 2)
+        # [4, L] row/frac tables for every (parity, interlace-flip) code
+        yt1, yt2, ytf, ct1, ct2, ctf = render_index_tables(
+            out.height, src_h, chroma_h, src_interlaced, src_tff)
+        ny = max_frames * src_h * src_w
+        nu = max_frames * chroma_h * chroma_w
+
+        def hscale(p, consts):
+            # bit-identical to colorconv.hscale_bilinear (same constants,
+            # same f32 lerp + round)
+            p = p.astype(jnp.int32)
+            if consts is None:
+                return p
+            x0, x1, f = consts
+            pf = p.astype(jnp.float32)
+            s0 = pf[..., x0]
+            s1 = pf[..., x1]
+            return jnp.round(s0 + (s1 - s0) * jnp.asarray(f)).astype(jnp.int32)
 
         @jax.jit
-        def process_batch(y, u, v, fieldno, parity, key, filter_planes):
+        def gop_step(pix, meta, key, filter_planes):
+            fy = jax.lax.slice(pix, (0,), (ny,)).reshape(
+                max_frames, src_h, src_w)
+            fu = jax.lax.slice(pix, (ny,), (ny + nu,)).reshape(
+                max_frames, chroma_h, chroma_w)
+            fv = jax.lax.slice(pix, (ny + nu,), (ny + 2 * nu,)).reshape(
+                max_frames, chroma_h, chroma_w)
+            src_idx = jax.lax.slice(meta, (0,), (gop,))
+            code = jax.lax.slice(meta, (gop,), (2 * gop,))
+            fieldno = jax.lax.slice(meta, (2 * gop,), (3 * gop,))
+            parity = jax.lax.slice(meta, (3 * gop,), (4 * gop,))
+
+            sy = hscale(fy, luma_consts)
+            su = hscale(fu, chroma_consts)
+            sv = hscale(fv, chroma_consts)
+
+            def render(p, t1, t2, tf):
+                # d = s1 + ((s2 - s1) * frac >> 8), render_field's 8-bit
+                # interpolation (ffmpeg_to_composite.cpp:1098-1099)
+                i1 = jnp.asarray(t1)[code]        # [B, L]
+                i2 = jnp.asarray(t2)[code]
+                fr = jnp.asarray(tf)[code]
+                s1 = p[src_idx[:, None], i1]
+                s2 = p[src_idx[:, None], i2]
+                return s1 + (((s2 - s1) * fr[..., None]) >> 8)
+
+            y = render(sy, yt1, yt2, ytf)
+            u = render(su, ct1, ct2, ctf)
+            v = render(sv, ct1, ct2, ctf)
             if bkey >= 0:
                 (y, u, v), filter_planes = _bkey_scan(
                     y, u, v, *filter_planes, bkey)
             if cfg.enable_composite_emulation:
                 y, u, v = yuv422.composite_video_process_auto(
                     y, u, v, fieldno, parity, key, cfg=ccfg, dtype=dtype)
-            return y, u, v, filter_planes
+            # one wire buffer out, split in halves so two D2H fetches can
+            # ride the link concurrently
+            packed = jnp.concatenate(
+                [y.astype(jnp.uint8), u.astype(jnp.uint8),
+                 v.astype(jnp.uint8)], axis=2)
+            return packed[: gop // 2], packed[gop // 2:], filter_planes
 
-        self._process_batch = process_batch
+        self._programs[cache_key] = gop_step
+        return gop_step
 
-    # ----------------------------------------------------------- video side
+    # ------------------------------------------------------------- emit side
 
-    def _flush_batch(self, batch, writer, pending_interlace, final=False):
-        """Double-buffered: dispatch this batch asynchronously, then drain the
-        *previous* batch's device results while the device works — host
-        packing/encoding overlaps device compute."""
-        if batch:
-            # pad short (final) batches to the GOP size so only one batch
-            # shape is ever compiled; padded fields are dropped on emit
-            n_real = len(batch)
-            padded = batch + [batch[-1]] * (self.gop - n_real)
-            ys = jnp.stack([b[0] for b in padded])
-            us = jnp.stack([b[1] for b in padded])
-            vs = jnp.stack([b[2] for b in padded])
-            fieldnos = jnp.asarray([b[3] for b in padded], jnp.int32)
-            parities = jnp.asarray([b[4] for b in padded], jnp.int32)
-            # noise is content-addressed per (seed, fieldno, stage): pass the
-            # base key straight through so output is GOP- and restart-invariant
-            y, u, v, self._filter_planes = self._process_batch(
-                ys, us, vs, fieldnos, parities, self.key, self._filter_planes)
-            inflight = (y, u, v, [(int(b[3]), int(b[4])) for b in batch])
-        else:
-            inflight = None
-
-        prev = getattr(self, "_inflight", None)
-        self._inflight = inflight
-        for item in ((prev,) if not final else (prev, inflight)):
-            if item is None:
-                continue
-            y, u, v, meta = item
-            y = np.asarray(y)
-            u = np.asarray(u)
-            v = np.asarray(v)
-            for k, (fieldno, parity) in enumerate(meta):
-                self._emit_field(y[k], u[k], v[k], fieldno, parity, writer,
-                                 pending_interlace)
-        if final:
-            self._inflight = None
+    def _bob_maps(self, parity: int):
+        """Field-line gather maps for bob packing: output row j of the bob
+        frame reads field line map[j] (output_frame, :1178-1235)."""
+        maps = self._bob_map_cache.get(parity)
+        if maps is None:
+            h = self.cfg.output.height
+            rows = fieldops.bob_rows(h, parity)
+            luma = ((rows - parity) >> 1).astype(np.int64)
+            chroma = ((rows[0::2] - parity) >> 1).astype(np.int64)
+            maps = (luma, chroma)
+            self._bob_map_cache[parity] = maps
+        return maps
 
     def _emit_field(self, y, u, v, fieldno, parity, writer, pending):
+        """Pack one processed uint8 field into the output stream — numpy row
+        gathers only (device work ended at the uint8 pack)."""
         out = self.cfg.output
         if out.interlaced_output:
             pending[parity] = (y, u, v)
             if parity == 0 and 1 in pending and 0 in pending:
                 # field pair complete: bottom field first (parity of field k
                 # is (k & 1) ^ 1, so even field counters are bottom lines)
-                top = pending[0]
-                bottom = pending[1]
-                fy = np.asarray(fieldops.interleave_fields(
-                    jnp.asarray(top[0]), jnp.asarray(bottom[0])))
-                fu = np.asarray(fieldops.interleave_fields(
-                    jnp.asarray(top[1]), jnp.asarray(bottom[1])))
-                fv = np.asarray(fieldops.interleave_fields(
-                    jnp.asarray(top[2]), jnp.asarray(bottom[2])))
+                top, bottom = pending[0], pending[1]
+                fy = _interleave_np(top[0], bottom[0])
+                fu = _interleave_np(top[1], bottom[1])
+                fv = _interleave_np(top[2], bottom[2])
                 self._write_frame(writer, fy, fu, fv)
                 pending.clear()
         else:
-            # bob: duplicate the field's rows per the reference row pattern
-            rows = fieldops.bob_rows(out.height, parity)
-            full_y = np.zeros((out.height, out.width), np.int32)
-            full_u = np.zeros((out.height, out.width // 2), np.int32)
-            full_v = np.zeros((out.height, out.width // 2), np.int32)
-            full_y[parity::2] = y
-            full_u[parity::2] = u
-            full_v[parity::2] = v
-            fy = full_y[rows]
-            fu = full_u[rows]
-            fv = full_v[rows]
-            self._write_frame(writer, fy, fu, fv)
+            luma_map, chroma_map = self._bob_maps(parity)
+            if out.use_422_colorspace:
+                writer.write(y[luma_map], u[luma_map], v[luma_map])
+            else:
+                writer.write(y[luma_map], u[chroma_map], v[chroma_map])
         if self.progress:
             print(f"\x0dOutput field {fieldno} ", end="", file=sys.stderr)
 
@@ -167,8 +237,11 @@ class CompositePipeline:
             writer.write(y.astype(np.uint8),
                          u[0::2].astype(np.uint8), v[0::2].astype(np.uint8))
 
+    # ------------------------------------------------------------ video side
+
     def run_video(self, reader: y4m.Y4MReader, out_stream):
-        """Drive video frames from a Y4M reader through the chain."""
+        """Drive video frames from a Y4M reader through the chain with
+        reader-prep / device-compute / D2H-encode overlapped in threads."""
         cfg = self.cfg
         out = cfg.output
         hdr = reader.header
@@ -185,51 +258,124 @@ class CompositePipeline:
             colorspace="422" if out.use_422_colorspace else "420jpeg")
         writer = y4m.Y4MWriter(out_stream, whdr)
 
-        video_field = 0
-        batch = []
-        pending = {}
-        ticks_per_frame = 2
-        base_idx = None   # first accepted frame rebases the clock to zero
-                          # (the reference's adj_time = -t, :2264-2265)
+        ch, cw = hdr.chroma_shape
+        chroma_h = ch or hdr.height
+        chroma_w = cw or hdr.width // 2
+        gop_step = self._build_gop_program(
+            hdr.height, hdr.width, chroma_h, chroma_w,
+            src_interlaced, src_tff)
+        batcher = FieldBatcher(
+            gop=self.gop, src_height=hdr.height, chroma_height=chroma_h,
+            luma_w=hdr.width, chroma_w=chroma_w)
 
-        for frame_idx, (ysrc, usrc, vsrc) in enumerate(reader):
-            t = float(frame_idx / fps)
-            if cfg.transcode_end >= 0 and t >= cfg.transcode_end:
+        q_in: queue.Queue = queue.Queue(maxsize=2)
+        q_out: queue.Queue = queue.Queue(maxsize=2)
+        errors: list[BaseException] = []
+        fields_done = {"n": 0}
+
+        def read_loop():
+            video_field = 0
+            ticks_per_frame = 2
+            base_idx = None   # first accepted frame rebases the clock to
+                              # zero (the reference's adj_time, :2264-2265)
+            try:
+                for frame_idx, (ysrc, usrc, vsrc) in enumerate(reader):
+                    t = float(frame_idx / fps)
+                    if cfg.transcode_end >= 0 and t >= cfg.transcode_end:
+                        break
+                    if t < cfg.transcode_start:
+                        continue
+                    if base_idx is None:
+                        base_idx = frame_idx
+                    rel = frame_idx - base_idx
+                    frame_pts = timing.frame_pts_to_field(
+                        rel, fps, self._field_rate)
+                    tgt = timing.frame_pts_to_field(
+                        rel + 1, fps, self._field_rate)
+                    tgt = timing.video_target_field(tgt, video_field)
+                    batcher.add_frame(ysrc, usrc, vsrc)
+                    while video_field < tgt:
+                        parity = (video_field & 1) ^ 1  # bottom first :1784
+                        b = batcher.add_field(
+                            video_field, parity,
+                            max(0, video_field - frame_pts))
+                        if b is not None:
+                            q_in.put(b)
+                        video_field += 1
+                b = batcher.finish()
+                if b is not None:
+                    q_in.put(b)
+                fields_done["n"] = video_field
+            except BaseException as e:  # propagate to main thread
+                errors.append(e)
+            finally:
+                q_in.put(None)
+
+        pending: dict = {}
+        w = out.width
+        wc = w // 2
+        fetch_pool = ThreadPoolExecutor(2, thread_name_prefix="cvsim-d2h")
+        trace = os.environ.get("CVSIM_TIMING") == "1"
+
+        def write_loop():
+            try:
+                while True:
+                    item = q_out.get()
+                    if item is None:
+                        return
+                    half_a, half_b, fieldnos, parities, n_real = item
+                    t0 = time.perf_counter()
+                    # concurrent D2H of the two halves (blocks until done)
+                    buf_a, buf_b = fetch_pool.map(np.asarray,
+                                                  (half_a, half_b))
+                    t1 = time.perf_counter()
+                    na = buf_a.shape[0]
+                    for k in range(n_real):
+                        row = buf_a[k] if k < na else buf_b[k - na]
+                        self._emit_field(
+                            row[:, :w], row[:, w:w + wc], row[:, w + wc:],
+                            int(fieldnos[k]), int(parities[k]),
+                            writer, pending)
+                    if trace:
+                        mb = (buf_a.nbytes + buf_b.nbytes) / 1e6
+                        t2 = time.perf_counter()
+                        print(f"[timing] D2H {t1-t0:6.3f}s "
+                              f"({mb/max(t1-t0,1e-9):5.1f} MB/s)  "
+                              f"emit {t2-t1:6.3f}s", file=sys.stderr)
+            except BaseException as e:
+                errors.append(e)
+                while q_out.get() is not None:   # drain; main never blocks
+                    pass
+
+        rt = threading.Thread(target=read_loop, name="cvsim-read", daemon=True)
+        wt = threading.Thread(target=write_loop, name="cvsim-write", daemon=True)
+        rt.start()
+        wt.start()
+        while True:
+            b = q_in.get()
+            if b is None:
                 break
-            if t < cfg.transcode_start:
-                continue
-            if base_idx is None:
-                base_idx = frame_idx
-            rel = frame_idx - base_idx
-            frame_pts = timing.frame_pts_to_field(rel, fps, self._field_rate)
-            tgt = timing.frame_pts_to_field(rel + 1, fps, self._field_rate)
-            tgt = timing.video_target_field(tgt, video_field)
-            if usrc is None:
-                w2 = ysrc.shape[1] // 2
-                usrc = np.full((ysrc.shape[0], w2), 128, np.uint8)
-                vsrc = usrc
-            # horizontal scale to output width (sws role)
-            ysrc = hscale_bilinear(jnp.asarray(ysrc, jnp.int32), out.width)
-            usrc = hscale_bilinear(jnp.asarray(usrc, jnp.int32), out.width // 2)
-            vsrc = hscale_bilinear(jnp.asarray(vsrc, jnp.int32), out.width // 2)
-            while video_field < tgt:
-                parity = (video_field & 1) ^ 1  # bottom field first (:1784)
-                # pts_delta selects which source field feeds this output field
-                # for interlaced sources (:1033-1036)
-                fy, fu, fv = fieldops.render_field(
-                    ysrc, usrc, vsrc, out.height, parity,
-                    src_interlaced=src_interlaced, src_top_field_first=src_tff,
-                    pts_delta=max(0, video_field - frame_pts),
-                    ticks_per_frame=ticks_per_frame)
-                batch.append((fy, fu, fv, video_field, parity))
-                video_field += 1
-                if len(batch) >= self.gop:
-                    self._flush_batch(batch, writer, pending)
-                    batch = []
-        self._flush_batch(batch, writer, pending, final=True)
+            # noise is content-addressed per (seed, fieldno, stage): the base
+            # key passes straight through so output is GOP- and
+            # restart-invariant
+            t0 = time.perf_counter()
+            half_a, half_b, self._filter_planes = gop_step(
+                b.pix, b.meta, self.key, self._filter_planes)
+            half_a.copy_to_host_async()
+            half_b.copy_to_host_async()
+            if trace:
+                print(f"[timing] dispatch {time.perf_counter()-t0:6.3f}s "
+                      f"(batch of {b.n_real})", file=sys.stderr)
+            q_out.put((half_a, half_b, b.fieldno, b.parity, b.n_real))
+        q_out.put(None)
+        rt.join()
+        wt.join()
+        fetch_pool.shutdown(wait=False)
+        if errors:
+            raise errors[0]
         if self.progress:
             print("", file=sys.stderr)
-        return video_field
+        return fields_done["n"]
 
     # ----------------------------------------------------------- audio side
 
