@@ -273,6 +273,16 @@ class CompositePipeline:
         errors: list[BaseException] = []
         fields_done = {"n": 0}
 
+        def put_batch(b):
+            # H2D from the reader thread: the enqueue overlaps the link with
+            # the previous GOP's D2H and the device compute, so steady-state
+            # throughput is total_wire_bytes / link_rate instead of the sum
+            # of serial transfer phases (the link, not compute, is the e2e
+            # wall on tunneled hosts — ~32 MB/s aggregate here).
+            b.pix = jax.device_put(b.pix)
+            b.meta = jax.device_put(b.meta)
+            q_in.put(b)
+
         def read_loop():
             video_field = 0
             ticks_per_frame = 2
@@ -300,11 +310,11 @@ class CompositePipeline:
                             video_field, parity,
                             max(0, video_field - frame_pts))
                         if b is not None:
-                            q_in.put(b)
+                            put_batch(b)
                         video_field += 1
                 b = batcher.finish()
                 if b is not None:
-                    q_in.put(b)
+                    put_batch(b)
                 fields_done["n"] = video_field
             except BaseException as e:  # propagate to main thread
                 errors.append(e)
