@@ -1,0 +1,353 @@
+"""Cross-validation harness: compile the REFERENCE'S OWN DSP code and run it.
+
+Round-1 verdict: every "exact parity" claim in this repo chained back to
+golden/ref_scalar.py, a hand-port by the same author — a shared misreading
+of the C++ would be invisible to every test. This module closes that loop by
+compiling the reference's actual DSP functions (which are pure over int/u8
+planes; they need only width/height from AVFrame) into standalone binaries
+and comparing them against the oracle on random fields.
+
+Nothing from the reference is checked into this repo: the C++ text is read
+from /root/reference (or $CVSIM_REFERENCE) AT TEST TIME, spliced between an
+original stub prologue (20-line AVFrame stand-in, the globals the functions
+reference, libc includes) and an original driver main() that speaks raw
+planes over stdin/stdout. If the reference tree is absent the harness
+reports unavailable and tests skip.
+
+Extracted units:
+- gen-2 (ffmpeg_ntsc.cpp): LowpassFilter + RGB_to_YIQ .. composite_layer
+  (:74-106, :1375-1921) — the whole per-field YIQ chain, driven as
+  RGB in -> RGB out.
+- gen-1 (ffmpeg_to_composite.cpp): LowpassFilter + clamps +
+  composite_video_chroma_lowpass .. composite_ntsc_to_yuv and
+  composite_video_process .. black_key_feedback (:99-131, :335-553,
+  :629-999) — the per-field YUV 4:2:2 chain plus black-key, driven as
+  Y/U/V planes in -> planes out. (composite_audio_process is skipped: it
+  reads the tool-global filter-bank state wired up in main().)
+
+Noise stages call libc rand(); the harness is meant for the deterministic
+stages, so drive it with noise/chroma_noise/chroma_phase_noise/chroma_loss
+= 0 and hs_phase_noise = 0 (head-switch stays deterministic then — the
+rand() draw is inside `if (phase_noise != 0)`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+
+REF_DIR = os.environ.get("CVSIM_REFERENCE", "/root/reference")
+_CACHE_DIR = os.path.join(tempfile.gettempdir(), "cvsim_ref_extract")
+
+
+def available() -> bool:
+    return (os.path.isfile(os.path.join(REF_DIR, "ffmpeg_ntsc.cpp"))
+            and os.path.isfile(os.path.join(REF_DIR, "ffmpeg_to_composite.cpp"))
+            and shutil.which("g++") is not None)
+
+
+def _slice_between(text: str, start: str, end: str) -> str:
+    i = text.index(start)
+    j = text.index(end, i)
+    return text[i:j]
+
+
+# --------------------------------------------------------------------- stubs
+
+_COMMON_PROLOGUE = r"""
+// Original stub prologue (cvsim_tpu cross-validation harness). The extracted
+// reference functions only touch width/height/linesize/data of AVFrame.
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cstdint>
+#include <cmath>
+#include <string>
+#include <algorithm>
+using namespace std;
+
+struct AVFrame {
+    int width;
+    int height;
+    int linesize[4];
+    unsigned char *data[4];
+    int interlaced_frame;
+    int top_field_first;
+};
+struct InputFile {};
+
+enum { VHS_SP = 0, VHS_LP, VHS_EP };
+
+// globals the extracted functions read (reference defaults; overridden by
+// key=value argv)
+int video_scanline_phase_shift = 180;
+int video_scanline_phase_shift_offset = 0;
+bool output_ntsc = true;
+bool output_pal = false;
+double composite_preemphasis = 0;
+double composite_preemphasis_cut = 1000000;
+double vhs_out_sharpen = 1.5;
+double vhs_out_sharpen_chroma = 0.85;
+bool vhs_head_switching = false;
+double vhs_head_switching_point = 1.0 - ((4.5 + 0.01) / 262.5);
+double vhs_head_switching_phase = ((1.0 - 0.01) / 262.5);
+double vhs_head_switching_phase_noise = 0;
+bool composite_in_chroma_lowpass = true;
+bool composite_out_chroma_lowpass = true;
+bool composite_out_chroma_lowpass_lite = true;
+int video_yc_recombine = 0;
+int video_chroma_noise = 0;
+int video_chroma_phase_noise = 0;
+int video_chroma_loss = 0;
+int video_noise = 0;
+int subcarrier_amplitude = 50;
+int subcarrier_amplitude_back = 50;
+bool emulating_vhs = false;
+bool nocolor_subcarrier = false;
+bool nocolor_subcarrier_after_yc_sep = false;
+bool vhs_chroma_vert_blend = true;
+bool vhs_svideo_out = false;
+int output_vhs_tape_speed = VHS_SP;
+int black_key_level_feedback = -1;
+"""
+
+_APPLY_KV = r"""
+static void apply_kv(const char *k, const char *v) {
+    double d = atof(v);
+    long n = atol(v);
+    if (!strcmp(k, "scp")) video_scanline_phase_shift = (int)n;
+    else if (!strcmp(k, "scpo")) video_scanline_phase_shift_offset = (int)n;
+    else if (!strcmp(k, "ntsc")) { output_ntsc = n != 0; output_pal = n == 0; }
+    else if (!strcmp(k, "preemphasis")) composite_preemphasis = d;
+    else if (!strcmp(k, "preemphasis_cut")) composite_preemphasis_cut = d;
+    else if (!strcmp(k, "sharpen")) vhs_out_sharpen = d;
+    else if (!strcmp(k, "sharpen_chroma")) vhs_out_sharpen_chroma = d;
+    else if (!strcmp(k, "hs")) vhs_head_switching = n != 0;
+    else if (!strcmp(k, "hs_point")) vhs_head_switching_point = d;
+    else if (!strcmp(k, "hs_phase")) vhs_head_switching_phase = d;
+    else if (!strcmp(k, "hs_phase_noise")) vhs_head_switching_phase_noise = d;
+    else if (!strcmp(k, "in_lowpass")) composite_in_chroma_lowpass = n != 0;
+    else if (!strcmp(k, "out_lowpass")) composite_out_chroma_lowpass = n != 0;
+    else if (!strcmp(k, "out_lowpass_lite")) composite_out_chroma_lowpass_lite = n != 0;
+    else if (!strcmp(k, "yc_recombine")) video_yc_recombine = (int)n;
+    else if (!strcmp(k, "chroma_noise")) video_chroma_noise = (int)n;
+    else if (!strcmp(k, "chroma_phase_noise")) video_chroma_phase_noise = (int)n;
+    else if (!strcmp(k, "chroma_loss")) video_chroma_loss = (int)n;
+    else if (!strcmp(k, "noise")) video_noise = (int)n;
+    else if (!strcmp(k, "amp")) subcarrier_amplitude = (int)n;
+    else if (!strcmp(k, "amp_back")) subcarrier_amplitude_back = (int)n;
+    else if (!strcmp(k, "vhs")) emulating_vhs = n != 0;
+    else if (!strcmp(k, "nocolor_subcarrier")) nocolor_subcarrier = n != 0;
+    else if (!strcmp(k, "nocolor_after")) nocolor_subcarrier_after_yc_sep = n != 0;
+    else if (!strcmp(k, "vblend")) vhs_chroma_vert_blend = n != 0;
+    else if (!strcmp(k, "svideo")) vhs_svideo_out = n != 0;
+    else if (!strcmp(k, "speed")) output_vhs_tape_speed = (int)n;
+    else if (!strcmp(k, "bkey")) black_key_level_feedback = (int)n;
+    else { fprintf(stderr, "unknown key %s\n", k); exit(2); }
+}
+
+static void parse_args(int argc, char **argv, int first) {
+    for (int i = first; i < argc; i++) {
+        char *eq = strchr(argv[i], '=');
+        if (!eq) { fprintf(stderr, "bad arg %s\n", argv[i]); exit(2); }
+        *eq = 0;
+        apply_kv(argv[i], eq + 1);
+    }
+}
+
+static void read_exact(void *p, size_t n) {
+    if (fread(p, 1, n, stdin) != n) { fprintf(stderr, "short read\n"); exit(3); }
+}
+"""
+
+_GEN2_MAIN = r"""
+int main(int argc, char **argv) {
+    // argv: w h field fieldno key=val...   stdin: w*h*3 RGB u8
+    // stdout: w*h*3 RGB u8 (rows y=field,+2 processed; others source copy)
+    int w = atoi(argv[1]), h = atoi(argv[2]);
+    int field = atoi(argv[3]);
+    unsigned long long fieldno = strtoull(argv[4], NULL, 10);
+    parse_args(argc, argv, 5);
+
+    unsigned char *rgb = new unsigned char[(size_t)w * h * 3];
+    read_exact(rgb, (size_t)w * h * 3);
+    unsigned char *sbuf = new unsigned char[(size_t)w * h * 4];
+    unsigned char *dbuf = new unsigned char[(size_t)w * h * 4];
+    for (long k = 0; k < (long)w * h; k++) {
+        uint32_t px = ((uint32_t)rgb[k*3] << 16) | ((uint32_t)rgb[k*3+1] << 8)
+                      | (uint32_t)rgb[k*3+2];
+        ((uint32_t*)sbuf)[k] = px;
+        ((uint32_t*)dbuf)[k] = px;
+    }
+    AVFrame src = {w, h, {w*4,0,0,0}, {sbuf,0,0,0}, 0, 0};
+    AVFrame dst = {w, h, {w*4,0,0,0}, {dbuf,0,0,0}, 0, 0};
+    InputFile inf;
+    composite_layer(&dst, &src, inf, field, fieldno);
+    for (long k = 0; k < (long)w * h; k++) {
+        uint32_t px = ((uint32_t*)dbuf)[k];
+        rgb[k*3]   = (px >> 16) & 0xFF;
+        rgb[k*3+1] = (px >> 8) & 0xFF;
+        rgb[k*3+2] = px & 0xFF;
+    }
+    fwrite(rgb, 1, (size_t)w * h * 3, stdout);
+    return 0;
+}
+"""
+
+_GEN1_MAIN = r"""
+int main(int argc, char **argv) {
+    // argv: mode w h field fieldno key=val...
+    //   mode "process": stdin Y[w*h] U[(w/2)*h] V[(w/2)*h] -> same out
+    //   mode "blackkey": stdin dst planes then flt planes -> dst planes,
+    //                    then flt planes (updated persistent filter frame)
+    const char *mode = argv[1];
+    int w = atoi(argv[2]), h = atoi(argv[3]);
+    int field = atoi(argv[4]);
+    unsigned long long fieldno = strtoull(argv[5], NULL, 10);
+    parse_args(argc, argv, 6);
+
+    size_t ny = (size_t)w * h, nc = (size_t)(w/2) * h;
+    // +16 slack filled with 16 (luma black): composite_ntsc_to_yuv reads
+    // Y[x+2] past the LAST row's end — in the real tool that lands in
+    // AVFrame alignment padding (unspecified); pin it to the oracle's
+    // pad-16 model so the comparison is deterministic.
+    unsigned char *y = new unsigned char[ny + 16];
+    unsigned char *u = new unsigned char[nc + 16];
+    unsigned char *v = new unsigned char[nc + 16];
+    memset(y + ny, 16, 16); memset(u + nc, 16, 16); memset(v + nc, 16, 16);
+    read_exact(y, ny); read_exact(u, nc); read_exact(v, nc);
+    AVFrame dst = {w, h, {w, w/2, w/2, 0}, {y, u, v, 0}, 0, 0};
+    if (!strcmp(mode, "process")) {
+        composite_video_process(&dst, field, fieldno);
+    } else if (!strcmp(mode, "blackkey")) {
+        unsigned char *fy = new unsigned char[ny];
+        unsigned char *fu = new unsigned char[nc];
+        unsigned char *fv = new unsigned char[nc];
+        read_exact(fy, ny); read_exact(fu, nc); read_exact(fv, nc);
+        AVFrame flt = {w, h, {w, w/2, w/2, 0}, {fy, fu, fv, 0}, 0, 0};
+        black_key_feedback(&dst, &flt, field, fieldno);
+        fwrite(y, 1, ny, stdout); fwrite(u, 1, nc, stdout);
+        fwrite(v, 1, nc, stdout);
+        fwrite(fy, 1, ny, stdout); fwrite(fu, 1, nc, stdout);
+        fwrite(fv, 1, nc, stdout);
+        return 0;
+    } else {
+        fprintf(stderr, "bad mode %s\n", mode); return 2;
+    }
+    fwrite(y, 1, ny, stdout); fwrite(u, 1, nc, stdout);
+    fwrite(v, 1, nc, stdout);
+    return 0;
+}
+"""
+
+
+# ----------------------------------------------------------------- compilers
+
+def _compose_gen2() -> str:
+    text = open(os.path.join(REF_DIR, "ffmpeg_ntsc.cpp")).read()
+    lowpass = _slice_between(text, "class LowpassFilter", "class HiLoPair")
+    chain = _slice_between(text, "void RGB_to_YIQ", "int main(")
+    return "\n".join([_COMMON_PROLOGUE, lowpass, chain, _APPLY_KV, _GEN2_MAIN])
+
+
+def _compose_gen1() -> str:
+    text = open(os.path.join(REF_DIR, "ffmpeg_to_composite.cpp")).read()
+    lowpass = _slice_between(text, "class LowpassFilter", "class HiLoPair")
+    clamps = _slice_between(text, "static inline int clampu8",
+                            "void composite_video_chroma_lowpass")
+    front = _slice_between(text, "void composite_video_chroma_lowpass",
+                           "void composite_audio_process")
+    back = _slice_between(text, "void composite_video_process",
+                          "void render_field")
+    return "\n".join([_COMMON_PROLOGUE, lowpass, clamps, front, back,
+                      _APPLY_KV, _GEN1_MAIN])
+
+
+def _build(tag: str, source: str) -> str:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    digest = hashlib.sha256(source.encode()).hexdigest()[:16]
+    exe = os.path.join(_CACHE_DIR, f"{tag}_{digest}")
+    if not os.path.exists(exe):
+        src_path = exe + ".cpp"
+        with open(src_path, "w") as f:
+            f.write(source)
+        subprocess.run(
+            ["g++", "-O2", "-w", "-o", exe, src_path], check=True,
+            capture_output=True, text=True)
+    return exe
+
+
+def gen2_exe() -> str:
+    return _build("ref_gen2", _compose_gen2())
+
+
+def gen1_exe() -> str:
+    return _build("ref_gen1", _compose_gen1())
+
+
+# ------------------------------------------------------------------- drivers
+
+def _kv_args(cfg: dict) -> list[str]:
+    return [f"{k}={int(v) if isinstance(v, bool) else v}"
+            for k, v in cfg.items()]
+
+
+def run_gen2(rgb: np.ndarray, field: int, fieldno: int, **cfg) -> np.ndarray:
+    """Run the reference composite_layer on an RGB frame [H, W, 3] u8.
+    Returns the full frame; only rows y = field, field+2, ... are processed."""
+    h, w, _ = rgb.shape
+    exe = gen2_exe()
+    out = subprocess.run(
+        [exe, str(w), str(h), str(field), str(fieldno)] + _kv_args(cfg),
+        input=np.ascontiguousarray(rgb, np.uint8).tobytes(),
+        stdout=subprocess.PIPE, check=True)
+    return np.frombuffer(out.stdout, np.uint8).reshape(h, w, 3).copy()
+
+
+def run_gen1(y: np.ndarray, u: np.ndarray, v: np.ndarray, field: int,
+             fieldno: int, **cfg):
+    """Run the reference composite_video_process on 4:2:2 planes
+    (y [H, W], u/v [H, W/2], all u8). Returns processed (y, u, v)."""
+    h, w = y.shape
+    exe = gen1_exe()
+    blob = (np.ascontiguousarray(y, np.uint8).tobytes()
+            + np.ascontiguousarray(u, np.uint8).tobytes()
+            + np.ascontiguousarray(v, np.uint8).tobytes())
+    out = subprocess.run(
+        [exe, "process", str(w), str(h), str(field), str(fieldno)]
+        + _kv_args(cfg),
+        input=blob, stdout=subprocess.PIPE, check=True)
+    buf = np.frombuffer(out.stdout, np.uint8)
+    ny, nc = h * w, h * (w // 2)
+    return (buf[:ny].reshape(h, w).copy(),
+            buf[ny:ny + nc].reshape(h, w // 2).copy(),
+            buf[ny + nc:].reshape(h, w // 2).copy())
+
+
+def run_gen1_blackkey(y, u, v, fy, fu, fv, field: int, fieldno: int,
+                      level: int):
+    """Run the reference black_key_feedback; returns
+    (y, u, v, filt_y, filt_u, filt_v) after keying + filter-frame update."""
+    h, w = y.shape
+    exe = gen1_exe()
+    planes = [y, u, v, fy, fu, fv]
+    blob = b"".join(np.ascontiguousarray(p, np.uint8).tobytes()
+                    for p in planes)
+    out = subprocess.run(
+        [exe, "blackkey", str(w), str(h), str(field), str(fieldno),
+         f"bkey={level}"],
+        input=blob, stdout=subprocess.PIPE, check=True)
+    buf = np.frombuffer(out.stdout, np.uint8)
+    ny, nc = h * w, h * (w // 2)
+    sizes = [ny, nc, nc, ny, nc, nc]
+    shapes = [(h, w), (h, w // 2), (h, w // 2)] * 2
+    res, pos = [], 0
+    for n, shp in zip(sizes, shapes):
+        res.append(buf[pos:pos + n].reshape(shp).copy())
+        pos += n
+    return tuple(res)

@@ -1,0 +1,264 @@
+"""Cross-validate golden/ref_scalar.py against the REFERENCE'S OWN compiled
+DSP (golden/ref_extract.py builds it from /root/reference at test time).
+
+This breaks the round-1 circularity: engines were proven against the oracle,
+but the oracle itself was only ever the author's reading of the C++. Here
+the actual reference functions run on random fields and must agree with the
+oracle bit-for-bit on every deterministic stage (noise stages excluded: they
+consume libc rand(), which the rebuild replaces by design — SURVEY §4).
+
+Skipped when /root/reference or g++ is unavailable (e.g. end-user installs).
+
+Known reference quirk handled here (discovered by this harness):
+`composite_ntsc_to_yuv` (ffmpeg_to_composite.cpp:495) reads `Y[x+2]` past
+the row end for the last two columns — with linesize == width that is the
+NEXT row's (opposite field's) first two pixels. The oracle instead pads 16
+(luma black). Gen-1 tests therefore pin every row's first two luma columns
+to 16 so both readings coincide; test_gen1_row_end_quirk documents the
+divergence explicitly on unconstrained input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from golden import ref_extract, ref_scalar as ref
+
+pytestmark = pytest.mark.skipif(
+    not ref_extract.available(),
+    reason="reference tree or g++ not available")
+
+H, W = 24, 64           # small frame: scalar oracle is per-pixel Python
+VHS_TABLE = {           # speed -> (luma_cut, chroma_cut, delay_g1, delay_g2)
+    0: (2400000.0, 320000.0, 4, 9),
+    1: (1900000.0, 300000.0, 5, 12),
+    2: (1400000.0, 280000.0, 6, 14),
+}
+
+
+def _rand_rgb(seed, h=H, w=W):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def _rand_yuv(seed, h=H, w=W, pin16=True):
+    rng = np.random.default_rng(seed)
+    y = rng.integers(16, 236, size=(h, w)).astype(np.uint8)
+    u = rng.integers(16, 241, size=(h, w // 2)).astype(np.uint8)
+    v = rng.integers(16, 241, size=(h, w // 2)).astype(np.uint8)
+    if pin16:
+        y[:, :2] = 16   # see module docstring: row-end read quirk
+    return y, u, v
+
+
+# ------------------------------------------------------------------- gen-2
+
+def _oracle_gen2(rgb, field, fieldno, cfg):
+    """Mirror ffmpeg_ntsc.cpp composite_layer's stage order on field rows."""
+    rows = rgb[field::2].astype(np.int64)
+    l, w, _ = rows.shape
+    y = np.zeros((l, w), np.int64)
+    i = np.zeros((l, w), np.int64)
+    q = np.zeros((l, w), np.int64)
+    for li in range(l):
+        for x in range(w):
+            r, g, b = (int(rows[li, x, 0]), int(rows[li, x, 1]),
+                       int(rows[li, x, 2]))
+            y[li, x], i[li, x], q[li, x] = ref.rgb_to_yiq(r, g, b)
+
+    ps = cfg.get("scp", 180)
+    po = cfg.get("scpo", 0)
+    amp = cfg.get("amp", 50)
+    amp_back = cfg.get("amp_back", 50)
+    if cfg.get("in_lowpass", True):
+        i, q = ref.composite_lowpass_yiq(i, q)
+    y, i, q = ref.chroma_into_luma_yiq(y, i, q, fieldno, field, amp, ps, po)
+    if cfg.get("preemphasis", 0):
+        y = ref.preemphasis_yiq(y, cfg["preemphasis"],
+                                cfg.get("preemphasis_cut", 1000000.0))
+    if cfg.get("hs", False):
+        y = ref.head_switching(y, field, cfg["hs_point"], cfg["hs_phase"],
+                               0.0, ntsc=True, fill=0)
+    y, i, q = ref.chroma_from_luma_yiq(y, i, q, fieldno, field, amp_back,
+                                       ps, po)
+    if cfg.get("vhs", False):
+        luma_cut, chroma_cut, _, delay = VHS_TABLE[cfg.get("speed", 0)]
+        y = ref.vhs_luma_lowpass_yiq(y, luma_cut)
+        i, q = ref.vhs_chroma_lowpass_yiq(i, q, chroma_cut, delay)
+        if cfg.get("vblend", True):
+            i, q = ref.vhs_chroma_vert_blend_yiq(i, q)
+        y = ref.vhs_sharpen_yiq(y, luma_cut, cfg.get("sharpen", 1.5))
+        if not cfg.get("svideo", False):
+            y, i, q = ref.chroma_into_luma_yiq(y, i, q, fieldno, field,
+                                               amp, ps, po)
+            y, i, q = ref.chroma_from_luma_yiq(y, i, q, fieldno, field,
+                                               amp, ps, po)
+    if cfg.get("out_lowpass", True):
+        i, q = ref.composite_lowpass_yiq(
+            i, q, lite=cfg.get("out_lowpass_lite", True))
+
+    out = rgb.copy()
+    for li in range(l):
+        for x in range(w):
+            out[field + 2 * li, x] = ref.yiq_to_rgb(
+                int(y[li, x]), int(i[li, x]), int(q[li, x]))
+    return out
+
+
+GEN2_CASES = [
+    ("defaults", 0, 0, {}),
+    ("field1_fieldno3", 1, 3, {}),
+    ("phase90", 0, 5, {"scp": 90, "scpo": 1}),
+    ("phase270_no_in_lp", 1, 2, {"scp": 270, "in_lowpass": False}),
+    ("preemphasis", 0, 1, {"preemphasis": 4.0, "preemphasis_cut": 800000.0}),
+    ("vhs_sp", 0, 7, {"vhs": True, "speed": 0}),
+    ("vhs_ep_svideo_novblend", 1, 4,
+     {"vhs": True, "speed": 2, "svideo": True, "vblend": False,
+      "sharpen": 2.0, "out_lowpass_lite": False}),
+    ("head_switching", 0, 6,
+     {"hs": True, "hs_point": 0.15, "hs_phase": 0.17,
+      "hs_phase_noise": 0.0}),
+    ("amps", 0, 2, {"amp": 40, "amp_back": 60}),
+]
+
+
+@pytest.mark.parametrize("name,field,fieldno,cfg",
+                         GEN2_CASES, ids=[c[0] for c in GEN2_CASES])
+def test_gen2_composite_layer_matches_oracle(name, field, fieldno, cfg):
+    rgb = _rand_rgb(hash(name) & 0xFFFF)
+    got = ref_extract.run_gen2(rgb, field, fieldno, **cfg)
+    want = _oracle_gen2(rgb, field, fieldno, cfg)
+    np.testing.assert_array_equal(got[field::2], want[field::2], err_msg=name)
+
+
+# ------------------------------------------------------------------- gen-1
+
+def _oracle_gen1(y, u, v, field, fieldno, cfg):
+    """Mirror ffmpeg_to_composite.cpp composite_video_process's order on
+    field rows ([L, W] luma, [L, W/2] chroma, u8 semantics)."""
+    wy = y[field::2].astype(np.int64)
+    wu = u[field::2].astype(np.int64)
+    wv = v[field::2].astype(np.int64)
+    ps = cfg.get("scp", 180)
+    po = cfg.get("scpo", 0)
+    ntsc = cfg.get("ntsc", True)
+    amp = cfg.get("amp", 50)
+    amp_back = cfg.get("amp_back", 50)
+
+    if cfg.get("in_lowpass", True):
+        wu, wv = ref.chroma_lowpass_yuv(wu, wv, ntsc=ntsc)
+    wy, wu, wv = ref.yuv_to_ntsc(wy, wu, wv, fieldno, field, amp, ps, po,
+                                 ntsc=ntsc,
+                                 nocolor=cfg.get("nocolor_subcarrier", False))
+    if cfg.get("preemphasis", 0):
+        wy = ref.preemphasis_yuv(wy, cfg["preemphasis"],
+                                 cfg.get("preemphasis_cut", 1000000.0))
+    if cfg.get("hs", False):
+        wy = ref.head_switching(wy, field, cfg["hs_phase"], cfg["hs_phase"],
+                                0.0, ntsc=ntsc, fill=16)
+    if not cfg.get("nocolor_subcarrier", False):
+        wy, wu, wv = ref.ntsc_to_yuv(
+            wy, wu, wv, fieldno, field, amp_back, ps, po, ntsc=ntsc,
+            nocolor_after_sep=cfg.get("nocolor_after", False))
+    if cfg.get("vhs", False):
+        luma_cut, chroma_cut, delay, _ = VHS_TABLE[cfg.get("speed", 0)]
+        wy = ref.vhs_luma_lowpass_yuv(wy, luma_cut)
+        wu, wv = ref.vhs_chroma_lowpass_yuv(wu, wv, chroma_cut, delay)
+        if cfg.get("vblend", True) and ntsc:
+            wu, wv = ref.vhs_chroma_vert_blend_yuv(wu, wv)
+        wy = ref.vhs_sharpen_luma_yuv(wy, luma_cut, cfg.get("sharpen", 1.5))
+        wu, wv = ref.vhs_sharpen_chroma_yuv(
+            wu, wv, chroma_cut, cfg.get("sharpen_chroma", 0.85))
+        if not cfg.get("svideo", False):
+            wy, wu, wv = ref.yuv_to_ntsc(wy, wu, wv, fieldno, field, amp,
+                                         ps, po, ntsc=ntsc)
+            wy, wu, wv = ref.ntsc_to_yuv(wy, wu, wv, fieldno, field, amp,
+                                         ps, po, ntsc=ntsc)
+    for _ in range(cfg.get("yc_recombine", 0)):
+        wy, wu, wv = ref.yuv_to_ntsc(wy, wu, wv, fieldno, field, amp,
+                                     ps, po, ntsc=ntsc)
+        wy, wu, wv = ref.ntsc_to_yuv(wy, wu, wv, fieldno, field, amp,
+                                     ps, po, ntsc=ntsc)
+    if cfg.get("out_lowpass", True):
+        wu, wv = ref.chroma_lowpass_yuv(wu, wv, ntsc=ntsc)
+    elif cfg.get("out_lowpass_lite", True):
+        wu, wv = ref.chroma_lowpass_yuv(wu, wv, ntsc=ntsc, lite=True)
+
+    oy, ou, ov = y.copy(), u.copy(), v.copy()
+    oy[field::2] = wy.astype(np.uint8)
+    ou[field::2] = wu.astype(np.uint8)
+    ov[field::2] = wv.astype(np.uint8)
+    return oy, ou, ov
+
+
+GEN1_CASES = [
+    ("defaults", 0, 0, {}),
+    ("field1", 1, 5, {}),
+    ("phase90_amps", 0, 3, {"scp": 90, "amp": 40, "amp_back": 60}),
+    ("preemphasis_no_in_lp", 1, 1,
+     {"preemphasis": 2.5, "preemphasis_cut": 900000.0, "in_lowpass": False}),
+    ("vhs_sp", 0, 2, {"vhs": True, "speed": 0}),
+    ("vhs_ep_svideo", 1, 6,
+     {"vhs": True, "speed": 2, "svideo": True, "vblend": False}),
+    ("head_switching", 0, 4,
+     {"hs": True, "hs_phase": 0.2, "hs_phase_noise": 0.0}),
+    ("yc_recombine_outlite", 0, 1,
+     {"yc_recombine": 2, "out_lowpass": False, "out_lowpass_lite": True}),
+]
+
+
+@pytest.mark.parametrize("name,field,fieldno,cfg",
+                         GEN1_CASES, ids=[c[0] for c in GEN1_CASES])
+def test_gen1_composite_video_process_matches_oracle(name, field, fieldno,
+                                                     cfg):
+    y, u, v = _rand_yuv(hash(name) & 0xFFFF)
+    run_cfg = dict(cfg)
+    run_cfg.setdefault("hs_phase_noise", 0.0)   # keep rand() out of the loop
+    gy, gu, gv = ref_extract.run_gen1(y, u, v, field, fieldno, **run_cfg)
+    wy, wu, wv = _oracle_gen1(y, u, v, field, fieldno, cfg)
+    np.testing.assert_array_equal(gy[field::2], wy[field::2], err_msg=name)
+    np.testing.assert_array_equal(gu[field::2], wu[field::2], err_msg=name)
+    np.testing.assert_array_equal(gv[field::2], wv[field::2], err_msg=name)
+
+
+def test_gen1_row_end_quirk():
+    """Document the Y[x+2] row-end overread (module docstring): with the
+    next row's first luma pixels != 16, the reference's output differs from
+    the oracle's pad-16 model only in a bounded tail of each row."""
+    y, u, v = _rand_yuv(99, pin16=False)
+    y[:, :2] = 200   # make the bleed visible
+    gy, gu, gv = ref_extract.run_gen1(y, u, v, 0, 0, hs_phase_noise=0.0)
+    wy, wu, wv = _oracle_gen1(y, u, v, 0, 0, {})
+    dy = np.argwhere(gy[0::2] != wy[0::2])
+    du = np.argwhere(gu[0::2] != wu[0::2])
+    assert dy.size or du.size, "expected the overread to be visible"
+    # luma diffs confined to the last 2+delay columns (box blur window +
+    # out-lowpass delay); chroma to the trailing half-res columns
+    assert dy[:, 1].min() >= W - 8
+    if du.size:
+        assert du[:, 1].min() >= W // 2 - 8
+
+
+def test_gen1_black_key_feedback_matches_oracle():
+    from cvsim_tpu.models import yuv422
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    y, u, v = _rand_yuv(3, pin16=False)
+    fy = rng.integers(0, 256, size=y.shape).astype(np.uint8)
+    fu = rng.integers(0, 256, size=u.shape).astype(np.uint8)
+    fv = rng.integers(0, 256, size=v.shape).astype(np.uint8)
+    level = 12
+    got = ref_extract.run_gen1_blackkey(y, u, v, fy, fu, fv, 0, 0, level)
+    (oy, ou, ov), (nfy, nfu, nfv) = yuv422.black_key_feedback(
+        jnp.asarray(y[0::2], jnp.int32), jnp.asarray(u[0::2], jnp.int32),
+        jnp.asarray(v[0::2], jnp.int32), jnp.asarray(fy[0::2], jnp.int32),
+        jnp.asarray(fu[0::2], jnp.int32), jnp.asarray(fv[0::2], jnp.int32),
+        level)
+    np.testing.assert_array_equal(got[0][0::2], np.asarray(oy, np.uint8))
+    np.testing.assert_array_equal(got[1][0::2], np.asarray(ou, np.uint8))
+    np.testing.assert_array_equal(got[2][0::2], np.asarray(ov, np.uint8))
+    np.testing.assert_array_equal(got[3][0::2], np.asarray(nfy, np.uint8))
+    np.testing.assert_array_equal(got[4][0::2], np.asarray(nfu, np.uint8))
+    np.testing.assert_array_equal(got[5][0::2], np.asarray(nfv, np.uint8))
