@@ -288,7 +288,9 @@ def _head_switch_shift_schedule(ishif, l_start, num_lines, max_pre: int = 64):
         return nxt, carry
 
     ks = jnp.arange(num_lines + max_pre, dtype=jnp.int32)
-    _, applied = jax.lax.scan(step, jnp.int32(0), ks)
+    # carry init derives from ishif so its varying-axes type matches the
+    # body output under shard_map (ishif is shard-local there)
+    _, applied = jax.lax.scan(step, jnp.zeros_like(ishif), ks)
     idx = jnp.arange(num_lines, dtype=jnp.int32) - l_start
     safe = jnp.clip(idx, 0, num_lines + max_pre - 1)
     return jnp.where(idx >= 0, applied[safe], 0)

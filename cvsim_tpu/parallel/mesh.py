@@ -74,6 +74,52 @@ def shard_fields(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def run_sharded_chain_fused(mesh: Mesh, cfg, rgb, fieldno, field_parity,
+                            key, dtype=None):
+    """Multi-chip deployment path for the FUSED kernels.
+
+    GSPMD cannot auto-partition a Pallas call, so `run_sharded_chain`'s
+    annotate-and-jit approach would forfeit the fused speedup on a real
+    multi-chip mesh (round-1 weak #5). Here the field-batch axis shards over
+    every device (dp and sp flattened — fields are mutually independent and
+    noise is content-addressed per (seed, fieldno, stage), so shard outputs
+    are bit-identical to the single-device batch and no halos/collectives
+    are needed) and each device runs the whole fused chain on its local
+    block via shard_map. On non-TPU backends the per-shard dispatch falls
+    back to the XLA path, which makes the seam testable on the CPU mesh.
+
+    rgb: [B, L, W, 3]; B must divide the device count.
+    """
+    import jax.numpy as jnp
+    from cvsim_tpu.models import yiq
+
+    if dtype is None:
+        dtype = jnp.float32
+    n = mesh.devices.size
+    if rgb.shape[0] % n:
+        raise ValueError(
+            f"field batch {rgb.shape[0]} must divide the mesh size {n}")
+    flat = P(("dp", "sp"))
+    data_sh = NamedSharding(mesh, P(("dp", "sp"), None, None, None))
+    meta_sh = NamedSharding(mesh, flat)
+
+    def local(rgb, fieldno, field_parity):
+        return yiq.composite_layer_rgb_auto(
+            rgb, fieldno, field_parity, key, cfg=cfg, dtype=dtype)
+
+    # check_vma=False: the per-shard body is collective-free (pure batch
+    # map) and the fused path's pallas_call out_shapes carry no vma info
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(("dp", "sp")), flat, flat),
+        out_specs=P(("dp", "sp")), check_vma=False))
+    rgb = jax.device_put(jnp.asarray(rgb, jnp.int32), data_sh)
+    fieldno = jax.device_put(jnp.asarray(fieldno, jnp.int32), meta_sh)
+    field_parity = jax.device_put(jnp.asarray(field_parity, jnp.int32),
+                                  meta_sh)
+    return fn(rgb, fieldno, field_parity)
+
+
 def run_sharded_chain(mesh: Mesh, cfg, rgb, fieldno, field_parity, key):
     """Jit + run the full gen-2 chain with explicit shardings over `mesh`.
 

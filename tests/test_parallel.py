@@ -6,7 +6,12 @@ import jax.numpy as jnp
 
 from cvsim_tpu.config import CompositeConfig, VHSSpeed
 from cvsim_tpu.models import yiq
-from cvsim_tpu.parallel.mesh import make_mesh, run_sharded_chain, _factor_2d
+from cvsim_tpu.parallel.mesh import (
+    make_mesh,
+    run_sharded_chain,
+    run_sharded_chain_fused,
+    _factor_2d,
+)
 
 
 def test_factor_2d():
@@ -36,6 +41,35 @@ def test_sharded_chain_matches_single_device():
         jnp.asarray(rgb), jnp.asarray(fieldno), jnp.asarray(parity), key,
         cfg=cfg))
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_sharded_chain_fused_seam_matches_single_device():
+    """The shard_map seam the real multi-chip deployment uses (per-shard
+    auto dispatch -> fused on TPU, XLA here): must equal the single-device
+    batch bit-for-bit, including content-addressed noise."""
+    cfg = CompositeConfig(
+        emulating_vhs=True, vhs_tape_speed=VHSSpeed.EP,
+        video_noise=6, video_chroma_noise=22, video_chroma_phase_noise=6,
+        video_chroma_loss=8, vhs_head_switching=True)
+    rng = np.random.default_rng(1)
+    b, l, w = 16, 16, 128
+    rgb = rng.integers(0, 256, size=(b, l, w, 3)).astype(np.int32)
+    fieldno = np.arange(b, dtype=np.int32)
+    parity = (np.arange(b) & 1).astype(np.int32)
+    key = jax.random.PRNGKey(9)
+
+    mesh = make_mesh(8)
+    sharded = np.asarray(
+        run_sharded_chain_fused(mesh, cfg, rgb, fieldno, parity, key))
+    single = np.asarray(yiq.composite_layer_rgb(
+        jnp.asarray(rgb), jnp.asarray(fieldno), jnp.asarray(parity), key,
+        cfg=cfg))
+    np.testing.assert_array_equal(sharded, single)
+
+    import pytest
+    with pytest.raises(ValueError, match="must divide"):
+        run_sharded_chain_fused(mesh, cfg, rgb[:6], fieldno[:6], parity[:6],
+                                key)
 
 
 def test_make_mesh_fails_loud_on_too_few_devices():
