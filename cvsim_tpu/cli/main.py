@@ -113,7 +113,6 @@ def _audio_pipe(cfg):
 
 
 def _run_common(st, gen1: bool):
-    from cvsim_tpu.host import y4m
     from cvsim_tpu.host.pipeline import CompositePipeline
 
     die = _soft_sigint()
@@ -124,14 +123,50 @@ def _run_common(st, gen1: bool):
           file=sys.stderr)
     print(f"VHS head switching noise: {st.vhs_head_switching_phase_noise:.6f}",
           file=sys.stderr)
+    from cvsim_tpu.host import ffmpeg_pipe
+
     pipe = CompositePipeline(cfg)
     fields = 0
-    if st.input_files and st.video_stream_index >= 0 and st.output_file:
-        with open(st.input_files[0], "rb") as fin, \
-                open(st.output_file, "wb") as fout:
-            fields = pipe.run_video(y4m.Y4MReader(fin), fout)
-    if st.audio_in and st.audio_out and st.audio_stream_index >= 0:
-        pipe.run_audio(st.audio_in, st.audio_out)
+    # Audio first: a processed WAV can then be muxed into the video
+    # container in the same encode pass (reference: one output file with
+    # H.264 + PCM S16LE, ffmpeg_to_composite.cpp:2034-2106). Sidecar WAV
+    # output (-audio-out) still works and wins when given.
+    mux_wav = None
+    audio_tmp = None
+    if st.audio_in and st.audio_stream_index >= 0:
+        audio_dst = st.audio_out
+        want_mux = (not audio_dst and st.output_file
+                    and not st.output_file.endswith(".y4m")
+                    and ffmpeg_pipe.have_ffmpeg())
+        if want_mux:
+            import tempfile
+
+            fd, audio_tmp = tempfile.mkstemp(suffix=".wav",
+                                             prefix="cvsim_mux_")
+            os.close(fd)
+            audio_dst = audio_tmp
+        if audio_dst:
+            pipe.run_audio(st.audio_in, audio_dst)
+            if want_mux:
+                mux_wav = audio_dst
+    try:
+        if st.input_files and st.video_stream_index >= 0 and st.output_file:
+            reader, rclean = ffmpeg_pipe.resolve_video_input(
+                st.input_files[0])
+            out_stream, finalize = ffmpeg_pipe.resolve_video_output(
+                st.output_file, mux_wav=mux_wav,
+                interlaced=cfg.output.interlaced_output)
+            try:
+                fields = pipe.run_video(reader, out_stream)
+            finally:
+                finalize()
+                rclean()
+    finally:
+        if audio_tmp:
+            try:
+                os.unlink(audio_tmp)
+            except OSError:
+                pass
     return 0
 
 

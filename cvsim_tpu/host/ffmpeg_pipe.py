@@ -59,4 +59,54 @@ def resolve_video_input(path: str):
         f = open(path, "rb")
         return y4m.Y4MReader(f), f.close
     reader, proc = open_video_reader(path)
-    return reader, proc.terminate
+
+    def cleanup():
+        proc.stdout.close()
+        proc.wait()
+
+    return reader, cleanup
+
+
+def resolve_video_output(path: str, *, mux_wav: str | None = None,
+                         interlaced: bool = False, crf: int = 18):
+    """Return (out_stream, finalize) for a video output path.
+
+    `.y4m` (or no ffmpeg binary): a plain file the pipeline writes Y4M into.
+    Anything else: an ffmpeg encode process shaped like the reference's
+    output setup (H.264 gop 15, no B-frames, 4:3 SAR, optional interlaced
+    DCT; ffmpeg_to_composite.cpp:2067-2106), optionally muxing a processed
+    WAV as PCM S16LE alongside (:2034-2065) so the tool emits ONE container
+    with both streams, like every reference video tool."""
+    if path.endswith(".y4m") or not have_ffmpeg():
+        f = open(path, "wb")
+        return f, f.close
+    cmd = ["ffmpeg", "-nostdin", "-v", "error", "-y",
+           "-f", "yuv4mpegpipe", "-i", "-"]
+    if mux_wav is not None:
+        cmd += ["-i", mux_wav, "-c:a", "pcm_s16le", "-shortest"]
+    cmd += ["-c:v", "libx264", "-g", "15", "-bf", "0", "-crf", str(crf),
+            "-aspect", "4:3"]
+    if interlaced:
+        cmd += ["-flags", "+ildct"]
+    cmd += [path]
+    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+
+    def finalize():
+        proc.stdin.close()
+        rc = proc.wait()
+        if rc:
+            raise RuntimeError(f"ffmpeg encoder exited with {rc}")
+
+    return proc.stdin, finalize
+
+
+def resolve_audio_input(path: str, rate: int, channels: int):
+    """Return int16 samples [N, C] at (rate, channels): native WAV (any
+    rate/layout, resampled downstream), or any container via ffmpeg."""
+    import numpy as np
+
+    if path.endswith(".wav") or not have_ffmpeg():
+        from cvsim_tpu.host import wavio
+
+        return wavio.read_wav(path)
+    return read_audio(path, rate, channels), rate

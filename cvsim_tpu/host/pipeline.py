@@ -392,7 +392,10 @@ class CompositePipeline:
     def run_audio(self, in_path: str, out_path: str, chunk: int = 65536):
         cfg = self.cfg
         acfg = cfg.audio
-        samples, rate = wavio.read_wav(in_path)
+        from cvsim_tpu.host import ffmpeg_pipe
+
+        samples, rate = ffmpeg_pipe.resolve_audio_input(
+            in_path, acfg.rate, acfg.channels)
         if rate != acfg.rate:
             samples = _resample_sinc(samples, rate, acfg.rate)
         if samples.shape[1] != acfg.channels:
