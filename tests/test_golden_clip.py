@@ -17,8 +17,11 @@ from cvsim_tpu.models import yiq, yuv422
 
 L, W = 16, 128
 
-YIQ_HASH = "969c89aa394b2874bfdf8eb83e23a39e9d8e7c2cd2320ffadc27b3d67da70242"
-YUV_HASH = "c5509a41b27fc57d0855ee7800163eca6b9a40fb908ea6c91d30bbbc34583a93"
+# Re-pinned when the noise generator moved from jax.random threefry to the
+# splitmix32 counter stream (ops/noise.py): intended stream change, same
+# distributions, ~2.5x less device time — see that module's docstring.
+YIQ_HASH = "d712c51387e8a7343a63689c1f917d36c4303c6070c97ed2348bc42f2ddd7ea0"
+YUV_HASH = "b5f71ef707abccf557d95eedd390e859545b90b73bffd20d9d3b09a6b21d0bd4"
 
 
 def _cfg():
