@@ -1,3 +1,3 @@
-from cvsim_tpu.cli.main import main
+from cvsim_tpu.cli.main import main, exit_main
 
-raise SystemExit(main())
+exit_main(main())

@@ -30,6 +30,9 @@ def _enable_compile_cache():
     jax.config.update("jax_compilation_cache_dir", path)
 
 
+_PRIME_THREAD = None
+
+
 def _prime_transfer_channel():
     """Warm the host<->device transfer path in the background. On tunneled
     TPU hosts the first D2H of a process performs a channel handshake that
@@ -47,7 +50,30 @@ def _prime_transfer_channel():
         except Exception:
             pass   # priming is best-effort; real transfers will pay instead
 
-    threading.Thread(target=prime, name="cvsim-prime", daemon=True).start()
+    global _PRIME_THREAD
+    _PRIME_THREAD = threading.Thread(target=prime, name="cvsim-prime",
+                                     daemon=True)
+    _PRIME_THREAD.start()
+
+
+def exit_main(rc):
+    """Process exit for the CLI entry point. If the transfer-prime thread is
+    still mid-RPC (fast commands finish before the tunnel handshake does),
+    interpreter teardown cancels it inside the device client's C++ and the
+    process aborts (SIGABRT) *after* doing all its work; skip teardown with
+    os._exit in that case — all tool output files are closed by then."""
+    if _PRIME_THREAD is not None:
+        _PRIME_THREAD.join(timeout=2.0)
+        if _PRIME_THREAD.is_alive():
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(rc)
+    raise SystemExit(rc)
+
+
+def cli_entry():
+    """Console-script entry point (`cvsim`)."""
+    exit_main(main())
 
 
 def _soft_sigint():

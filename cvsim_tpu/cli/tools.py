@@ -471,22 +471,58 @@ def run_raw28ntsc(argv):
 
 
 def run_normalize_ts(argv):
-    """normalize_ts: monotonic PTS rewrite. Y4M carries no timestamps (frames
-    are implicitly monotonic at the header rate), so for Y4M this is a
-    remux/validation pass; the PTS-repair engine itself is
-    cvsim_tpu.host.timing.StreamTsState (used by the ffmpeg_pipe backend)."""
+    """normalize_ts: monotonic PTS rewrite (normalize_ts.cpp:171-188,
+    438-467 per-stream tracking).
+
+    Y4M carries no timestamps, so the container timestamps ride a sidecar
+    packet log: `-pts-in <file>` lines are `<stream_index> <pts|none>` (or
+    bare `<pts>` for stream 0), one per packet in mux order — the shape an
+    `ffmpeg -copyts`/ffprobe packet dump reduces to. Each stream's PTS run
+    is rewritten monotonic by timing.StreamTsState (backward jumps lifted,
+    forward jumps clamped to -maxfwd ticks) and written to `-pts-out`.
+    Video frames (stream 0 packets) copy through unchanged. Without
+    -pts-in, Y4M frames are implicitly monotonic and this is a
+    remux/validation pass."""
     args = _ToolArgs(argv, extra={"program": (int, "program"),
-                                  "maxfwd": (int, "maxfwd")})
+                                  "maxfwd": (int, "maxfwd"),
+                                  "pts-in": (str, "pts_in"),
+                                  "pts-out": (str, "pts_out")})
+    maxfwd = args.extra.get("maxfwd", 0)
+    packets = None
+    if "pts_in" in args.extra:
+        packets = []
+        with open(args.extra["pts_in"]) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                sidx, pts = (("0", parts[0]) if len(parts) == 1
+                             else (parts[0], parts[1]))
+                packets.append((int(sidx),
+                                None if pts == "none" else int(pts)))
+
     with open(args.inputs[0], "rb") as f, open(args.output, "wb") as out:
         r = y4m.Y4MReader(f)
         w = y4m.Y4MWriter(out, r.header)
-        st = timing.StreamTsState(max_forward=args.extra.get("maxfwd", 0))
         n = 0
         for yf, uf, vf in r:
-            st.rewrite(n)
             w.write(yf, uf, vf)
             n += 1
-    print(f"{n} frames remuxed (monotonic)", file=sys.stderr)
+
+    if packets is not None:
+        states: dict[int, timing.StreamTsState] = {}
+        lines = []
+        for sidx, pts in packets:
+            st = states.setdefault(
+                sidx, timing.StreamTsState(max_forward=maxfwd))
+            lines.append(f"{sidx} {st.rewrite(pts)}")
+        out_path = args.extra.get("pts_out", args.extra["pts_in"] + ".norm")
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"{n} frames remuxed; {len(packets)} packet timestamps "
+              f"normalized across {len(states)} stream(s)", file=sys.stderr)
+    else:
+        print(f"{n} frames remuxed (monotonic)", file=sys.stderr)
     return 0
 
 

@@ -210,6 +210,32 @@ def test_normalize_ts(tmp_path):
     assert len(frames) == FRAMES
 
 
+def test_normalize_ts_packet_log(tmp_path):
+    """The PTS-repair engine must be load-bearing through the TOOL path: a
+    backward/forward-jumping two-stream packet log comes out monotonic per
+    stream (normalize_ts.cpp:438-467 semantics)."""
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    log = tmp_path / "pts.txt"
+    # stream 0: backward jump at 3000 -> lifted; then a 100000-tick forward
+    # jump -> clamped to maxfwd. stream 1 interleaved with its own jump.
+    log.write_text(
+        "0 1000\n1 10\n0 2000\n1 20\n0 3000\n1 5\n0 1500\n0 2500\n"
+        "0 103000\n0 104000\n1 30\n")
+    norm = tmp_path / "pts_norm.txt"
+    rc = main(["normalize-ts", "-i", src, "-o", out,
+               "-pts-in", str(log), "-pts-out", str(norm), "-maxfwd", "4000"])
+    assert rc == 0
+    lines = [l.split() for l in norm.read_text().splitlines()]
+    per_stream = {}
+    for sidx, pts in lines:
+        per_stream.setdefault(sidx, []).append(int(pts))
+    assert per_stream["0"] == [1000, 2000, 3000, 3000, 4000, 8000, 9000]
+    assert per_stream["1"] == [10, 20, 20, 45]
+    _, frames = read_all(out)
+    assert len(frames) == FRAMES
+
+
 def test_raw28ntsc_cli(tmp_path):
     from tests.test_raw28 import synth_capture
     raw = str(tmp_path / "cap.raw")
