@@ -153,6 +153,24 @@ def _run_common(st, gen1: bool):
 
     pipe = CompositePipeline(cfg)
     fields = 0
+    # -checkpoint: resumable runs (original extension; see host/checkpoint.py).
+    # Only the native Y4M output path can be truncated-and-appended; encoder
+    # pipes cannot.
+    ckpt_path = None
+    resuming = False
+    if st.checkpoint and st.output_file:
+        if st.output_file.endswith(".y4m"):
+            ckpt_path = st.output_file + ".ckpt"
+            from cvsim_tpu.host import checkpoint as _ckpt
+
+            loaded = _ckpt.load(ckpt_path)
+            resuming = bool(
+                loaded
+                and loaded[0].get("cfg_hash") == _ckpt.config_hash(cfg)
+                and os.path.exists(st.output_file))
+        else:
+            print("-checkpoint requires a .y4m output; ignoring",
+                  file=sys.stderr)
     # Audio first: a processed WAV can then be muxed into the video
     # container in the same encode pass (reference: one output file with
     # H.264 + PCM S16LE, ffmpeg_to_composite.cpp:2034-2106). Sidecar WAV
@@ -172,18 +190,27 @@ def _run_common(st, gen1: bool):
             os.close(fd)
             audio_dst = audio_tmp
         if audio_dst:
-            pipe.run_audio(st.audio_in, audio_dst)
+            if resuming and os.path.exists(audio_dst) and audio_dst != audio_tmp:
+                print("Resume: audio output already complete; skipping",
+                      file=sys.stderr)
+            else:
+                pipe.run_audio(st.audio_in, audio_dst)
             if want_mux:
                 mux_wav = audio_dst
     try:
         if st.input_files and st.video_stream_index >= 0 and st.output_file:
             reader, rclean = ffmpeg_pipe.resolve_video_input(
                 st.input_files[0])
-            out_stream, finalize = ffmpeg_pipe.resolve_video_output(
-                st.output_file, mux_wav=mux_wav,
-                interlaced=cfg.output.interlaced_output)
+            if resuming:
+                out_stream = open(st.output_file, "r+b")
+                finalize = out_stream.close
+            else:
+                out_stream, finalize = ffmpeg_pipe.resolve_video_output(
+                    st.output_file, mux_wav=mux_wav,
+                    interlaced=cfg.output.interlaced_output)
             try:
-                fields = pipe.run_video(reader, out_stream)
+                fields = pipe.run_video(reader, out_stream,
+                                        ckpt_path=ckpt_path)
             finally:
                 finalize()
                 rclean()

@@ -21,6 +21,7 @@ filter planes carried across batches on the host side of the jit boundary.
 
 from __future__ import annotations
 
+import io
 import queue
 import sys
 import threading
@@ -239,9 +240,21 @@ class CompositePipeline:
 
     # ------------------------------------------------------------ video side
 
-    def run_video(self, reader: y4m.Y4MReader, out_stream):
+    def run_video(self, reader: y4m.Y4MReader, out_stream,
+                  ckpt_path: str | None = None, ckpt_every: int = 4,
+                  _fail_after_gops: int | None = None):
         """Drive video frames from a Y4M reader through the chain with
-        reader-prep / device-compute / D2H-encode overlapped in threads."""
+        reader-prep / device-compute / D2H-encode overlapped in threads.
+
+        ckpt_path enables checkpoint/resume (host/checkpoint.py): the writer
+        thread saves a resumable cursor + the black-key carry every
+        `ckpt_every` GOPs, and a matching existing checkpoint resumes the
+        run (output truncated to the recorded frame boundary, reader seeked
+        past consumed source frames). _fail_after_gops is a test hook that
+        injects a crash after N GOPs are written.
+        """
+        from cvsim_tpu.host import checkpoint
+
         cfg = self.cfg
         out = cfg.output
         hdr = reader.header
@@ -256,7 +269,59 @@ class CompositePipeline:
             interlacing=("t" if out.interlaced_output else "p"),
             aspect="4:3",
             colorspace="422" if out.use_422_colorspace else "420jpeg")
-        writer = y4m.Y4MWriter(out_stream, whdr)
+
+        run_hash = checkpoint.config_hash(cfg, hdr, self.gop)
+        resume_field = 0
+        frames_written = 0
+        ckpt_base_idx = None
+        if ckpt_path:
+            loaded = checkpoint.load(ckpt_path)
+            if loaded and loaded[0].get("hash") == run_hash:
+                meta, arrs = loaded
+                resume_field = int(meta["next_field"])
+                frames_written = int(meta["frames_written"])
+                ckpt_base_idx = meta["base_idx"]
+                self._filter_planes = tuple(
+                    jnp.asarray(arrs[k]) for k in ("fy", "fu", "fv"))
+                if self.progress:
+                    print(f"Resuming at field {resume_field} "
+                          f"({frames_written} frames already written)",
+                          file=sys.stderr)
+            elif loaded:
+                print("Checkpoint exists but flags/input changed; "
+                      "starting over", file=sys.stderr)
+
+        if resume_field:
+            hdr_line = whdr.header_line()
+            out_stream.seek(0)
+            if out_stream.read(len(hdr_line)) != hdr_line:
+                raise ValueError(
+                    "resume: existing output header does not match")
+            fsize = 6 + whdr.frame_bytes()   # b"FRAME\n" + payload
+            out_stream.seek(len(hdr_line) + frames_written * fsize)
+            out_stream.truncate()
+            writer = y4m.Y4MWriter(out_stream, whdr, write_header=False)
+            writer.frames_written = frames_written
+            # skip source frames that only feed fields < resume_field:
+            # frame rel produces fields [video_field, tgt(rel+1)), so the
+            # first needed frame is the smallest rel with
+            # tgt(rel+1) > resume_field (plus the window prefix base_idx)
+            rel0 = 0
+            while timing.frame_pts_to_field(
+                    rel0 + 1, fps, self._field_rate) <= resume_field:
+                rel0 += 1
+            skip_n = (ckpt_base_idx or 0) + rel0
+            checkpoint.skip_y4m_frames(reader, skip_n)
+        else:
+            try:
+                # a reused output stream (resume attempted, hash mismatch)
+                # must restart from zero bytes; pipes reject this harmlessly
+                out_stream.seek(0)
+                out_stream.truncate()
+            except (OSError, io.UnsupportedOperation, AttributeError):
+                pass
+            writer = y4m.Y4MWriter(out_stream, whdr)
+            skip_n = 0
 
         ch, cw = hdr.chroma_shape
         chroma_h = ch or hdr.height
@@ -284,12 +349,14 @@ class CompositePipeline:
             q_in.put(b)
 
         def read_loop():
-            video_field = 0
+            video_field = resume_field
             ticks_per_frame = 2
-            base_idx = None   # first accepted frame rebases the clock to
+            base_idx = ckpt_base_idx if resume_field else None
+                              # first accepted frame rebases the clock to
                               # zero (the reference's adj_time, :2264-2265)
             try:
-                for frame_idx, (ysrc, usrc, vsrc) in enumerate(reader):
+                for local_idx, (ysrc, usrc, vsrc) in enumerate(reader):
+                    frame_idx = local_idx + skip_n
                     t = float(frame_idx / fps)
                     if cfg.transcode_end >= 0 and t >= cfg.transcode_end:
                         break
@@ -297,6 +364,7 @@ class CompositePipeline:
                         continue
                     if base_idx is None:
                         base_idx = frame_idx
+                        base_idx_box["v"] = base_idx
                     rel = frame_idx - base_idx
                     frame_pts = timing.frame_pts_to_field(
                         rel, fps, self._field_rate)
@@ -327,13 +395,16 @@ class CompositePipeline:
         fetch_pool = ThreadPoolExecutor(2, thread_name_prefix="cvsim-d2h")
         trace = os.environ.get("CVSIM_TIMING") == "1"
 
+        wrote = {"frames": frames_written, "gops": 0}
+        base_idx_box = {"v": ckpt_base_idx}
+
         def write_loop():
             try:
                 while True:
                     item = q_out.get()
                     if item is None:
                         return
-                    half_a, half_b, fieldnos, parities, n_real = item
+                    half_a, half_b, fieldnos, parities, n_real, planes = item
                     t0 = time.perf_counter()
                     # concurrent D2H of the two halves (blocks until done)
                     buf_a, buf_b = fetch_pool.map(np.asarray,
@@ -346,6 +417,25 @@ class CompositePipeline:
                             row[:, :w], row[:, w:w + wc], row[:, w + wc:],
                             int(fieldnos[k]), int(parities[k]),
                             writer, pending)
+                    wrote["frames"] = writer.frames_written
+                    wrote["gops"] += 1
+                    if (ckpt_path and not pending
+                            and wrote["gops"] % ckpt_every == 0):
+                        out_stream.flush()
+                        fy, fu, fv = planes
+                        checkpoint.save(
+                            ckpt_path,
+                            {"hash": run_hash,
+                             "cfg_hash": checkpoint.config_hash(cfg),
+                             "next_field": int(fieldnos[n_real - 1]) + 1,
+                             "frames_written": wrote["frames"],
+                             "base_idx": base_idx_box["v"],
+                             "audio_done": True},
+                            {"fy": np.asarray(fy), "fu": np.asarray(fu),
+                             "fv": np.asarray(fv)})
+                    if (_fail_after_gops is not None
+                            and wrote["gops"] >= _fail_after_gops):
+                        raise RuntimeError("injected checkpoint-test crash")
                     if trace:
                         mb = (buf_a.nbytes + buf_b.nbytes) / 1e6
                         t2 = time.perf_counter()
@@ -376,13 +466,16 @@ class CompositePipeline:
             if trace:
                 print(f"[timing] dispatch {time.perf_counter()-t0:6.3f}s "
                       f"(batch of {b.n_real})", file=sys.stderr)
-            q_out.put((half_a, half_b, b.fieldno, b.parity, b.n_real))
+            q_out.put((half_a, half_b, b.fieldno, b.parity, b.n_real,
+                       self._filter_planes))
         q_out.put(None)
         rt.join()
         wt.join()
         fetch_pool.shutdown(wait=False)
         if errors:
             raise errors[0]
+        if ckpt_path:
+            checkpoint.clear(ckpt_path)
         if self.progress:
             print("", file=sys.stderr)
         return fields_done["n"]

@@ -129,13 +129,19 @@ class Y4MReader:
 
 
 class Y4MWriter:
-    def __init__(self, f: BinaryIO, header: Y4MHeader):
+    def __init__(self, f: BinaryIO, header: Y4MHeader,
+                 write_header: bool = True):
+        # write_header=False appends to an existing stream (checkpoint
+        # resume repositions f past the validated header first)
         self.f = f
         self.header = header
-        f.write(header.header_line())
+        self.frames_written = 0
+        if write_header:
+            f.write(header.header_line())
 
     def write(self, y: np.ndarray, u=None, v=None):
         h = self.header
+        self.frames_written += 1
         self.f.write(b"FRAME\n")
         self.f.write(np.ascontiguousarray(y, np.uint8).tobytes())
         if u is not None:

@@ -91,6 +91,7 @@ class FlagState:
     transcode_dur: float = -1.0
     frame_delay: int = 1           # gen-2 -d ring length
     seed: int = 0
+    checkpoint: bool = False       # original extension: resumable runs
 
     # --- preset mutators (exact side-effect sets from the reference) -------
 
@@ -305,6 +306,8 @@ COMPOSITE_HELP = """\
 -bkey-feedback <n>           black-key feedback ("hall of mirrors")
 -width <n>                   output width
 -seed <n>                    deterministic noise seed
+-checkpoint                  resumable run: save a <out>.ckpt cursor; rerun
+                             the same command to continue after a crash
 -a/-v <n>, -an/-vn           stream selection
 """
 
@@ -353,6 +356,8 @@ def parse_composite_flags(argv: Sequence[str], gen2: bool = False) -> FlagState:
             st.composite_out_chroma_lowpass = int(take()) > 0
         elif a == "out-composite-lowpass-lite":
             st.composite_out_chroma_lowpass_lite = int(take()) > 0
+        elif a == "checkpoint":
+            st.checkpoint = True
         elif a == "ss":
             st.transcode_start = float(take())
         elif a == "se":
