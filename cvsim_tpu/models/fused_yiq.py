@@ -37,10 +37,11 @@ from cvsim_tpu.models import yiq
 from cvsim_tpu.ops.blocked_iir import _decay_consts
 from cvsim_tpu.ops.cmath import c_int
 from cvsim_tpu.ops.noise import (
+    chroma_noise_walk_rows,
     field_stage_keys,
     randint_per_field,
     random_walk_per_field,
-    smoothed_noise_walk_per_field,
+    smoothed_noise_walk_rows,
 )
 from cvsim_tpu.ops.phase import scanline_phase_xi
 
@@ -395,19 +396,13 @@ def composite_layer_rgb_fused(
 
     # --- precomputed stochastic inputs (same streams as composite_layer) ---
     if cfg.video_noise != 0:
-        vwalk = c_int(smoothed_noise_walk_per_field(
-            keys[0], l * w, cfg.video_noise, dtype=dtype)).reshape(b, l, w)
+        vwalk = c_int(smoothed_noise_walk_rows(
+            keys[0], l, w, cfg.video_noise, dtype=dtype))
     else:
         vwalk = jnp.zeros((b, l, w), dtype)
     if cfg.video_chroma_noise != 0:
-        u = randint_per_field(keys[2], (2, l * w), -cfg.video_chroma_noise,
-                              cfg.video_chroma_noise + 1).astype(dtype)
-        from cvsim_tpu.ops.iir import iir_lowpass
-
-        post = iir_lowpass(u, 0.5, 0.0, axis=-1)
-        cwalk = c_int(jnp.concatenate(
-            [jnp.zeros_like(post[..., :1]), post[..., :-1]],
-            axis=-1)).reshape(b, 2, l, w)
+        cwalk = c_int(chroma_noise_walk_rows(
+            keys[2], l, w, cfg.video_chroma_noise, dtype=dtype))
     else:
         cwalk = jnp.zeros((b, 2, l, w), dtype)
     if cfg.video_chroma_phase_noise != 0:

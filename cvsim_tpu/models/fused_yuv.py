@@ -39,7 +39,8 @@ from cvsim_tpu.ops.noise import (
     field_stage_keys,
     randint_per_field,
     random_walk_per_field,
-    smoothed_noise_walk_per_field,
+    chroma_noise_walk_rows,
+    smoothed_noise_walk_rows,
 )
 from cvsim_tpu.ops.phase import scanline_phase_xi
 
@@ -400,19 +401,13 @@ def composite_video_process_fused(
     keys = [field_stage_keys(key, fieldno, sid) for sid in range(5)]
 
     if cfg.video_noise != 0:
-        vwalk = c_int(smoothed_noise_walk_per_field(
-            keys[0], l * w, cfg.video_noise, dtype=dtype)).reshape(b, l, w)
+        vwalk = c_int(smoothed_noise_walk_rows(
+            keys[0], l, w, cfg.video_noise, dtype=dtype))
     else:
         vwalk = jnp.zeros((b, l, w), dtype)
     if cfg.video_chroma_noise != 0:
-        uu = randint_per_field(keys[2], (2, l * w2), -cfg.video_chroma_noise,
-                               cfg.video_chroma_noise + 1).astype(dtype)
-        from cvsim_tpu.ops.iir import iir_lowpass
-
-        post = iir_lowpass(uu, 0.5, 0.0, axis=-1)
-        cwalk = c_int(jnp.concatenate(
-            [jnp.zeros_like(post[..., :1]), post[..., :-1]],
-            axis=-1)).reshape(b, 2, l, w2)
+        cwalk = c_int(chroma_noise_walk_rows(
+            keys[2], l, w2, cfg.video_chroma_noise, dtype=dtype))
     else:
         cwalk = jnp.zeros((b, 2, l, w2), dtype)
     if cfg.video_chroma_phase_noise != 0:

@@ -38,9 +38,10 @@ from cvsim_tpu.ops.iir import (
 )
 from cvsim_tpu.ops.noise import (
     field_stage_keys,
+    chroma_noise_walk_rows,
     randint_per_field,
     random_walk_per_field,
-    smoothed_noise_walk_per_field,
+    smoothed_noise_walk_rows,
     uniform_pm1_per_field,
 )
 from cvsim_tpu.ops.phase import scanline_phase_xi
@@ -231,24 +232,22 @@ def composite_preemphasis_stage(y, pre_scale: float, pre_cut: float, dtype=jnp.f
 
 
 def video_noise_stage(y, keys, mag: int, dtype=jnp.float32):
-    """Smoothed random-walk luma noise; the walk runs across the whole field
-    (scanlines concatenated), matching ffmpeg_ntsc.cpp:1631-1644. keys: [B]
-    per-field keys (field_stage_keys) so noise is batch-invariant."""
+    """Smoothed random-walk luma noise (ffmpeg_ntsc.cpp:1631-1644); the walk
+    resets per scanline (statistical-parity deviation from the reference's
+    field-continuous walk — see ops/noise.smoothed_noise_walk_rows, which
+    makes in-kernel generation tile-local). keys: [B] per-field keys
+    (field_stage_keys) so noise is batch-invariant."""
     b, l, w = y.shape
-    walk = smoothed_noise_walk_per_field(keys, l * w, mag, dtype=dtype)
-    return y + c_int(walk).astype(jnp.int32).reshape(b, l, w)
+    walk = smoothed_noise_walk_rows(keys, l, w, mag, dtype=dtype)
+    return y + c_int(walk).astype(jnp.int32)
 
 
 def chroma_noise_stage(i, q, keys, mag: int, dtype=jnp.float32):
-    """ffmpeg_ntsc.cpp:1718-1735 — independent walks on I and Q (one batched
-    walk over [B, 2, L*W]); keys: [B] per-field keys."""
+    """ffmpeg_ntsc.cpp:1718-1735 — independent per-scanline walks on I and
+    Q; keys: [B] per-field keys."""
     b, l, w = i.shape
-    u = randint_per_field(keys, (2, l * w), -mag, mag + 1).astype(dtype)
-    from cvsim_tpu.ops.iir import iir_lowpass
-    post = iir_lowpass(u, 0.5, 0.0, axis=-1)
-    wk = jnp.concatenate([jnp.zeros_like(post[..., :1]), post[..., :-1]],
-                         axis=-1)
-    wk = c_int(wk).astype(jnp.int32).reshape(b, 2, l, w)
+    wk = c_int(chroma_noise_walk_rows(keys, l, w, mag,
+                                      dtype=dtype)).astype(jnp.int32)
     return i + wk[:, 0], q + wk[:, 1]
 
 

@@ -31,9 +31,10 @@ from cvsim_tpu.ops.iir import (
 )
 from cvsim_tpu.ops.noise import (
     field_stage_keys,
+    chroma_noise_walk_rows,
     randint_per_field,
     random_walk_per_field,
-    smoothed_noise_walk_per_field,
+    smoothed_noise_walk_rows,
 )
 from cvsim_tpu.ops.phase import scanline_phase_xi
 from cvsim_tpu.models.yiq import (
@@ -145,23 +146,20 @@ def composite_preemphasis_stage(y, pre_scale: float, pre_cut: float, dtype=jnp.f
 
 
 def video_noise_stage(y, keys, mag: int, dtype=jnp.float32):
-    """ffmpeg_to_composite.cpp:653-665 (clampu8 at every sample); keys: [B]
+    """ffmpeg_to_composite.cpp:653-665 (clampu8 at every sample); the walk
+    resets per scanline (see ops/noise.smoothed_noise_walk_rows). keys: [B]
     per-field keys."""
     b, l, w = y.shape
-    walk = smoothed_noise_walk_per_field(keys, l * w, mag, dtype=dtype)
-    return _U8(y + c_int(walk).astype(jnp.int32).reshape(b, l, w))
+    walk = smoothed_noise_walk_rows(keys, l, w, mag, dtype=dtype)
+    return _U8(y + c_int(walk).astype(jnp.int32))
 
 
 def chroma_noise_stage(u, v, keys, mag: int, dtype=jnp.float32):
-    """ffmpeg_to_composite.cpp:738-754 (one batched walk for both planes);
-    keys: [B] per-field keys."""
+    """ffmpeg_to_composite.cpp:738-754 (independent per-scanline walks for
+    the two planes); keys: [B] per-field keys."""
     b, l, w2 = u.shape
-    uu = randint_per_field(keys, (2, l * w2), -mag, mag + 1).astype(dtype)
-    from cvsim_tpu.ops.iir import iir_lowpass
-    post = iir_lowpass(uu, 0.5, 0.0, axis=-1)
-    wk = jnp.concatenate([jnp.zeros_like(post[..., :1]), post[..., :-1]],
-                         axis=-1)
-    wk = c_int(wk).astype(jnp.int32).reshape(b, 2, l, w2)
+    wk = c_int(chroma_noise_walk_rows(keys, l, w2, mag,
+                                      dtype=dtype)).astype(jnp.int32)
     return _U8(u + wk[:, 0]), _U8(v + wk[:, 1])
 
 

@@ -133,6 +133,36 @@ def random_walk_per_field(keys, n: int, mag: int, dtype=jnp.float32):
     return iir_lowpass(u.astype(dtype), 0.5, 0.0, axis=-1)
 
 
+def smoothed_noise_walk_rows(keys, l: int, w: int, mag: int,
+                             dtype=jnp.float32):
+    """Per-scanline smoothed walks [B, l, w].
+
+    Identical content-addressed increment stream as the per-field variant
+    (element (y, x) draws stream index y*w + x), but the walk recurrence
+    resets to 0 at each line start — like every other per-scanline filter
+    register in the reference. The walk's alpha-0.5 correlation dies within
+    ~20 samples, so the distributions are unchanged except at the first few
+    pixels of a line (statistical-parity contract, SURVEY §7 hard-part 2).
+
+    This is the form the fused kernels generate IN-KERNEL: with per-row
+    reset, each line tile's walk depends only on its own rows (no stream
+    carry across arbitrary tile boundaries), so noise never touches HBM."""
+    u = randint_per_field(keys, (l, w), -mag, mag + 1)
+    post = iir_lowpass(u.astype(dtype), 0.5, 0.0, axis=-1)
+    head = jnp.zeros_like(post[..., :1])
+    return jnp.concatenate([head, post[..., :-1]], axis=-1)
+
+
+def chroma_noise_walk_rows(keys, l: int, w: int, mag: int,
+                           dtype=jnp.float32):
+    """Two per-scanline smoothed walk planes [B, 2, l, w] (I/Q or U/V);
+    plane c's element (y, x) draws stream index c*l*w + y*w + x."""
+    u = randint_per_field(keys, (2, l, w), -mag, mag + 1)
+    post = iir_lowpass(u.astype(dtype), 0.5, 0.0, axis=-1)
+    head = jnp.zeros_like(post[..., :1])
+    return jnp.concatenate([head, post[..., :-1]], axis=-1)
+
+
 def uniform_pm1_per_field(keys, dtype=jnp.float32):
     bits = _bits(keys, jnp.zeros_like(keys))
     return bits.astype(dtype) * dtype(2.0 ** -31) - dtype(1.0)

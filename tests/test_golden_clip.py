@@ -17,11 +17,14 @@ from cvsim_tpu.models import yiq, yuv422
 
 L, W = 16, 128
 
-# Re-pinned when the noise generator moved from jax.random threefry to the
-# splitmix32 counter stream (ops/noise.py): intended stream change, same
-# distributions, ~2.5x less device time — see that module's docstring.
-YIQ_HASH = "d712c51387e8a7343a63689c1f917d36c4303c6070c97ed2348bc42f2ddd7ea0"
-YUV_HASH = "b5f71ef707abccf557d95eedd390e859545b90b73bffd20d9d3b09a6b21d0bd4"
+# Re-pinned twice for intended stream changes, same distributions:
+# 1) noise generator moved from jax.random threefry to the splitmix32
+#    counter stream (ops/noise.py docstring; ~2.5x less device time);
+# 2) noise walks reset per scanline instead of running across the field
+#    (ops/noise.smoothed_noise_walk_rows) so the fused kernels generate
+#    them in-kernel without any cross-tile stream carry.
+YIQ_HASH = "6a10e6e35177d940f926785ece50ff0280b4f7868fd8ce768c4edb67cd779087"
+YUV_HASH = "6ba3b3efcd23616c95aaf5829666b0dd6e68e99b466281e30ce5a3c80ec20201"
 
 
 def _cfg():
