@@ -37,11 +37,9 @@ from cvsim_tpu.models import yiq
 from cvsim_tpu.ops.blocked_iir import _decay_consts
 from cvsim_tpu.ops.cmath import c_int
 from cvsim_tpu.ops.noise import (
-    chroma_noise_walk_rows,
     field_stage_keys,
     randint_per_field,
     random_walk_per_field,
-    smoothed_noise_walk_rows,
 )
 from cvsim_tpu.ops.phase import scanline_phase_xi
 
@@ -92,6 +90,38 @@ def _lowpass_writeback(p, T_t, d, delay: int, w: int, wp: int, y0=0.0):
     xw = _iota_w(wp)
     out = jnp.where(xw < (w - delay), shifted, p)
     return jnp.where(xw < w, out, 0.0)
+
+
+_GOLD = np.uint32(0x9E3779B9)
+
+
+def _mix32_k(x):
+    """In-kernel splitmix32 avalanche — same ops as ops/noise.mix32."""
+    x = (x ^ (x >> 16)) * np.uint32(0x85EBCA6B)
+    x = (x ^ (x >> 13)) * np.uint32(0xC2B2AE35)
+    return x ^ (x >> 16)
+
+
+def _walk_rows_kernel(key_u, row0: int, mag: int, plane_off: int,
+                      w: int, wp: int, tl: int, T_t, d):
+    """In-kernel per-row smoothed noise walk [tl, wp]: generate the
+    content-addressed increments (stream index plane_off + row*w + x, same
+    as ops/noise.*_rows) on the VPU and run the alpha-0.5 walk on the MXU.
+    Bit-equal to c_int(smoothed_noise_walk_rows(...)) — the blocked-matmul
+    structure and f32 ops match iir_lowpass_blocked exactly, so the fused
+    and stage-by-stage paths keep identical streams with the walks never
+    touching HBM."""
+    span = np.uint32(2 * mag + 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tl, wp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tl, wp), 1)
+    idx = (jnp.uint32(plane_off) + (rows + row0).astype(jnp.uint32)
+           * np.uint32(w) + cols.astype(jnp.uint32))
+    bits = _mix32_k(key_u + idx * _GOLD)
+    u = (bits % span).astype(jnp.int32) - mag
+    u = jnp.where(cols < w, u.astype(jnp.float32), 0.0)
+    y = _pole(u, T_t, d, 0.0, wp // BLOCK)
+    sm = jnp.where(cols == 0, 0.0, jnp.roll(y, 1, axis=-1))
+    return _trunc(sm)
 
 
 def _qam_multipliers(xi_col, wp):
@@ -154,13 +184,13 @@ def _qam_decode(y, xi_col, amp_back: int, w: int, wp: int):
 
 # ------------------------------------------------------------------ kernels
 
-def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int):
+def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, tl: int):
     nb = wp // BLOCK
     amp = cfg.subcarrier_amplitude
     do_pre = cfg.composite_preemphasis != 0 and cfg.composite_preemphasis_cut > 0
     do_noise = cfg.video_noise != 0
 
-    def kernel(r_ref, g_ref, b_ref, xi_ref, noise_ref, tt_ref, d_ref, y_ref):
+    def kernel(r_ref, g_ref, b_ref, xi_ref, nk_ref, tt_ref, d_ref, y_ref):
         r = r_ref[0]
         g = g_ref[0]
         b = b_ref[0]
@@ -187,14 +217,17 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int):
             y = _trunc(y + (y - lp) * cfg.composite_preemphasis)
 
         if do_noise:
-            y = y + noise_ref[0]
+            y = y + _walk_rows_kernel(
+                nk_ref[0, 0, 0].astype(jnp.uint32),
+                pl.program_id(1) * tl, cfg.video_noise, 0, w, wp, tl,
+                tt_ref[7], d_ref[7])
 
         y_ref[0] = jnp.where(active, y, 0.0)
 
     return kernel
 
 
-def _kernel_b_front(cfg, w, wp, y, xi_col, cn0, cn1, sin_a, cos_a):
+def _kernel_b_front(cfg, w, wp, l, tl, y, xi_col, nk_u, sin_a, cos_a):
     """Decode + chroma/phase noise + VHS bandlimit (row-independent)."""
     nb = wp // BLOCK
     speed = cfg.vhs_tape_speed
@@ -208,8 +241,10 @@ def _kernel_b_front(cfg, w, wp, y, xi_col, cn0, cn1, sin_a, cos_a):
         q = jnp.zeros_like(y)
 
     if cfg.video_chroma_noise != 0:
-        i = i + cn0
-        q = q + cn1
+        row0 = pl.program_id(1) * tl
+        mag = cfg.video_chroma_noise
+        i = i + _walk_rows_kernel(nk_u, row0, mag, 0, w, wp, tl, *_TT[7])
+        q = q + _walk_rows_kernel(nk_u, row0, mag, l * w, w, wp, tl, *_TT[7])
 
     if cfg.video_chroma_phase_noise != 0:
         if cfg.chroma_phase_noise_gen1_bug:
@@ -300,16 +335,16 @@ class _TTBinder:
 _TT = _TTBinder()
 
 
-def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int):
+def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
     """Single-tile kernel: full field resident, in-kernel vertical blend."""
 
-    def kernel(y_ref, xi_ref, cn_ref, sc_ref, drop_ref, tt_ref, d_ref,
+    def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
                r_ref, g_ref, b_ref):
         _TT.bind(tt_ref, d_ref)
         y = y_ref[0]
         xi_col = xi_ref[0].astype(jnp.int32)
-        y, i, q = _kernel_b_front(cfg, w, wp, y, xi_col,
-                                  cn_ref[0, 0], cn_ref[0, 1],
+        y, i, q = _kernel_b_front(cfg, w, wp, l, tl, y, xi_col,
+                                  nk_ref[0, 0, 1].astype(jnp.uint32),
                                   sc_ref[0, :, 0:1], sc_ref[0, :, 1:2])
         if cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc:
             i, q = _kernel_b_vblend(cfg, i, q)
@@ -321,16 +356,16 @@ def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int):
     return kernel
 
 
-def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int):
+def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
     """Tiled-mode front half (row-independent; vblend happens in XLA)."""
 
-    def kernel(y_ref, xi_ref, cn_ref, sc_ref, tt_ref, d_ref,
+    def kernel(y_ref, xi_ref, nk_ref, sc_ref, tt_ref, d_ref,
                y_out, i_out, q_out):
         _TT.bind(tt_ref, d_ref)
         y = y_ref[0]
         xi_col = xi_ref[0].astype(jnp.int32)
-        y, i, q = _kernel_b_front(cfg, w, wp, y, xi_col,
-                                  cn_ref[0, 0], cn_ref[0, 1],
+        y, i, q = _kernel_b_front(cfg, w, wp, l, tl, y, xi_col,
+                                  nk_ref[0, 0, 1].astype(jnp.uint32),
                                   sc_ref[0, :, 0:1], sc_ref[0, :, 1:2])
         y_out[0] = y
         i_out[0] = i
@@ -361,15 +396,16 @@ def _alpha_consts(cfg: CompositeConfig):
     """Stacked decay constants: rows are
     0: in/out I 1.3MHz, 1: in/out Q 0.6MHz, 2: preemphasis cut,
     3: VHS luma cut, 4: VHS chroma cut, 5: VHS sharpen (4x luma cut),
-    6: out 'tv' 2.6MHz."""
+    6: out 'tv' 2.6MHz, 7: the alpha-0.5 noise walk."""
     speed = cfg.vhs_tape_speed
     cuts = [1300000.0, 600000.0,
             max(cfg.composite_preemphasis_cut, 1.0),
             speed.luma_cut, speed.chroma_cut, speed.luma_cut * 4.0,
             2600000.0]
+    alphas = [float(iir_alpha(NTSC_RATE, c)) for c in cuts] + [0.5]
     tts, ds = [], []
-    for c in cuts:
-        T, d, _pk = _decay_consts(float(iir_alpha(NTSC_RATE, c)), BLOCK, "float32")
+    for a in alphas:
+        T, d, _pk = _decay_consts(a, BLOCK, "float32")
         tts.append(T.T.copy())
         ds.append(d)
     return np.stack(tts), np.stack(ds)
@@ -394,17 +430,12 @@ def composite_layer_rgb_fused(
         cfg.ntsc, gen1=False)
     keys = [field_stage_keys(key, fieldno, sid) for sid in range(5)]
 
-    # --- precomputed stochastic inputs (same streams as composite_layer) ---
-    if cfg.video_noise != 0:
-        vwalk = c_int(smoothed_noise_walk_rows(
-            keys[0], l, w, cfg.video_noise, dtype=dtype))
-    else:
-        vwalk = jnp.zeros((b, l, w), dtype)
-    if cfg.video_chroma_noise != 0:
-        cwalk = c_int(chroma_noise_walk_rows(
-            keys[2], l, w, cfg.video_chroma_noise, dtype=dtype))
-    else:
-        cwalk = jnp.zeros((b, 2, l, w), dtype)
+    # --- stochastic inputs: the per-pixel walk streams (luma + chroma) are
+    # generated IN-KERNEL from these per-field stream ids (bit-equal to the
+    # stage path's smoothed_noise_walk_rows — see _walk_rows_kernel); only
+    # the small per-line streams (phase angle, dropout) ride HBM ---
+    keys_ab = jnp.stack([keys[0], keys[2]],
+                    axis=-1).astype(jnp.int32)[:, None, :]  # [B,1,2]
     if cfg.video_chroma_phase_noise != 0:
         pwalk = random_walk_per_field(keys[3], l, cfg.video_chroma_phase_noise,
                                       dtype=dtype)
@@ -452,8 +483,6 @@ def composite_layer_rgb_fused(
     rf = padl(padw(rgb[..., 0].astype(dtype)))
     gf = padl(padw(rgb[..., 1].astype(dtype)))
     bf = padl(padw(rgb[..., 2].astype(dtype)))
-    vwalk_p = padl(padw(vwalk))
-    cwalk_p = jnp.swapaxes(padl(jnp.swapaxes(padw(cwalk), 1, 2)), 1, 2)
     xi_col = padl(xi[..., None].astype(jnp.float32))   # [B, Lp, 1]
     sincos_p = padl(sincos)
     keep_p = padl(keep)
@@ -464,24 +493,24 @@ def composite_layer_rgb_fused(
                             memory_space=pltpu.VMEM)
     spec_sc = pl.BlockSpec((1, tl, 2), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
-    spec_tt = pl.BlockSpec((7, BLOCK, BLOCK), lambda i, j: (0, 0, 0),
+    spec_tt = pl.BlockSpec((8, BLOCK, BLOCK), lambda i, j: (0, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_d = pl.BlockSpec((7, BLOCK), lambda i, j: (0, 0),
+    spec_d = pl.BlockSpec((8, BLOCK), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
-    spec_cn = pl.BlockSpec((1, 2, tl, wp), lambda i, j: (i, 0, j, 0),
-                           memory_space=pltpu.VMEM)
+    spec_nk = pl.BlockSpec((1, 1, 2), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.SMEM)
     grid = (b, n_lt)
 
-    kernel_a = _make_kernel_a(cfg, w, wp)
+    kernel_a = _make_kernel_a(cfg, w, wp, tl)
     y_enc = pl.pallas_call(
         kernel_a,
         out_shape=jax.ShapeDtypeStruct((b, lp, wp), dtype),
         grid=grid,
-        in_specs=[specs3(), specs3(), specs3(), spec_col, specs3(),
+        in_specs=[specs3(), specs3(), specs3(), spec_col, spec_nk,
                   spec_tt, spec_d],
         out_specs=specs3(),
         interpret=interpret,
-    )(rf, gf, bf, xi_col, vwalk_p, tts, ds)
+    )(rf, gf, bf, xi_col, keys_ab, tts, ds)
 
     # head switching on the encoded luma (XLA, windowed) — on the REAL rows
     # so the shift schedule matches the stage-by-stage path exactly
@@ -496,27 +525,27 @@ def composite_layer_rgb_fused(
 
     do_vblend = cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc
     if single_tile:
-        kernel_b = _make_kernel_b(cfg, w, wp)
+        kernel_b = _make_kernel_b(cfg, w, wp, l, tl)
         r_o, g_o, b_o = pl.pallas_call(
             kernel_b,
             out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
             grid=grid,
-            in_specs=[specs3(), spec_col, spec_cn, spec_sc, spec_col,
+            in_specs=[specs3(), spec_col, spec_nk, spec_sc, spec_col,
                       spec_tt, spec_d],
             out_specs=(specs3(),) * 3,
             interpret=interpret,
-        )(y_enc, xi_col, cwalk_p, sincos_p, keep_p, tts, ds)
+        )(y_enc, xi_col, keys_ab, sincos_p, keep_p, tts, ds)
     else:
-        kernel_b1 = _make_kernel_b1(cfg, w, wp)
+        kernel_b1 = _make_kernel_b1(cfg, w, wp, l, tl)
         y2, i2, q2 = pl.pallas_call(
             kernel_b1,
             out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
             grid=grid,
-            in_specs=[specs3(), spec_col, spec_cn, spec_sc,
+            in_specs=[specs3(), spec_col, spec_nk, spec_sc,
                       spec_tt, spec_d],
             out_specs=(specs3(),) * 3,
             interpret=interpret,
-        )(y_enc, xi_col, cwalk_p, sincos_p, tts, ds)
+        )(y_enc, xi_col, keys_ab, sincos_p, tts, ds)
         if do_vblend:
             # 2-line chroma blend in XLA over the REAL rows (same math as
             # the in-kernel version: row 0 kept, row 1 blends with 0)

@@ -32,15 +32,14 @@ from cvsim_tpu.config import (
     iir_alpha,
 )
 from cvsim_tpu.models import yiq as yiq_mod
-from cvsim_tpu.models.fused_yiq import _pole, _pole3, _iota_w, _cdiv
+from cvsim_tpu.models.fused_yiq import (_pole, _pole3, _iota_w, _cdiv,
+                                        _walk_rows_kernel)
 from cvsim_tpu.ops.blocked_iir import _decay_consts
 from cvsim_tpu.ops.cmath import c_int
 from cvsim_tpu.ops.noise import (
     field_stage_keys,
     randint_per_field,
     random_walk_per_field,
-    chroma_noise_walk_rows,
-    smoothed_noise_walk_rows,
 )
 from cvsim_tpu.ops.phase import scanline_phase_xi
 
@@ -158,7 +157,8 @@ def _alpha_consts_gen1(cfg: CompositeConfig):
     2: in V cut (0.6/1.3MHz@422)     3: in V cut/2 highpass
     4: preemphasis cut (@4fsc)       5: VHS luma cut (@4fsc)
     6: VHS chroma cut (@422)         7: sharpen luma 2x cut (@4fsc)
-    8: sharpen chroma 2x cut (@422)  9: out-lite rate/4 (@422)"""
+    8: sharpen chroma 2x cut (@422)  9: out-lite rate/4 (@422)
+    10: the alpha-0.5 noise walk"""
     u_cut = 1300000.0
     v_cut = 600000.0 if cfg.ntsc else 1300000.0
     speed = cfg.vhs_tape_speed
@@ -172,20 +172,22 @@ def _alpha_consts_gen1(cfg: CompositeConfig):
         (NTSC_RATE_422, speed.chroma_cut * 2),
         (NTSC_RATE_422, NTSC_RATE_422 / 4),
     ]
+    alphas = [float(iir_alpha(rate, cut)) for rate, cut in specs] + [0.5]
     tts, ds = [], []
-    for rate, cut in specs:
-        T, d, _pk = _decay_consts(float(iir_alpha(rate, cut)), BLOCK, "float32")
+    for a in alphas:
+        T, d, _pk = _decay_consts(a, BLOCK, "float32")
         tts.append(T.T.copy())
         ds.append(d)
     return np.stack(tts), np.stack(ds)
 
 
-def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
+def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int,
+                   wp2: int, tl: int):
     nb = wp // BLOCK
     do_pre = cfg.composite_preemphasis != 0 and cfg.composite_preemphasis_cut > 0
     do_noise = cfg.video_noise != 0
 
-    def kernel(y_ref, u_ref, v_ref, xi_ref, noise_ref, tt_ref, d_ref,
+    def kernel(y_ref, u_ref, v_ref, xi_ref, nk_ref, tt_ref, d_ref,
                eu_ref, y_out):
         y = y_ref[0]
         u = u_ref[0]
@@ -208,14 +210,17 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
             y = _u8(y + (y - lp) * cfg.composite_preemphasis)
 
         if do_noise:
-            y = _u8(y + noise_ref[0])
+            y = _u8(y + _walk_rows_kernel(
+                nk_ref[0, 0, 0].astype(jnp.uint32),
+                pl.program_id(1) * tl, cfg.video_noise, 0, w, wp, tl,
+                tt_ref[10], d_ref[10]))
 
         y_out[0] = jnp.where(_iota_w(wp) < w, y, 0.0)
 
     return kernel
 
 
-def _b_front(cfg, w, wp, w2, wp2, y, xi_col, cn0, cn1, sin_a, cos_a,
+def _b_front(cfg, w, wp, w2, wp2, l, tl, y, xi_col, nk_u, sin_a, cos_a,
              tt_ref, d_ref, ed):
     """Decode + chroma/phase noise + VHS bandlimit (row-independent)."""
     nb = wp // BLOCK
@@ -226,8 +231,12 @@ def _b_front(cfg, w, wp, w2, wp2, y, xi_col, cn0, cn1, sin_a, cos_a,
                              ed, w, wp)
 
     if cfg.video_chroma_noise != 0:
-        u = _u8(u + cn0)
-        v = _u8(v + cn1)
+        row0 = pl.program_id(1) * tl
+        mag = cfg.video_chroma_noise
+        u = _u8(u + _walk_rows_kernel(nk_u, row0, mag, 0, w2, wp2, tl,
+                                      tt_ref[10], d_ref[10]))
+        v = _u8(v + _walk_rows_kernel(nk_u, row0, mag, l * w2, w2, wp2, tl,
+                                      tt_ref[10], d_ref[10]))
 
     if cfg.video_chroma_phase_noise != 0:
         uu = u - 128.0
@@ -322,14 +331,15 @@ def _b_back(cfg, w, wp, w2, wp2, y, u, v, xi_col, keep, tt_ref, d_ref,
     return y, u, v
 
 
-def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
+def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int,
+                   wp2: int, l: int, tl: int):
     """Single-tile kernel: full field resident, in-kernel vertical blend."""
 
-    def kernel(y_ref, xi_ref, cn_ref, sc_ref, drop_ref, tt_ref, d_ref,
+    def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
                ed_ref, eu_ref, y_out, u_out, v_out):
         xi_col = xi_ref[0].astype(jnp.int32)
-        y, u, v = _b_front(cfg, w, wp, w2, wp2, y_ref[0], xi_col,
-                           cn_ref[0, 0], cn_ref[0, 1],
+        y, u, v = _b_front(cfg, w, wp, w2, wp2, l, tl, y_ref[0], xi_col,
+                           nk_ref[0, 0, 1].astype(jnp.uint32),
                            sc_ref[0, :, 0:1], sc_ref[0, :, 1:2],
                            tt_ref, d_ref, ed_ref[...])
         if cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc:
@@ -343,14 +353,15 @@ def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
     return kernel
 
 
-def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
+def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int, w2: int,
+                    wp2: int, l: int, tl: int):
     """Tiled-mode front half."""
 
-    def kernel(y_ref, xi_ref, cn_ref, sc_ref, tt_ref, d_ref, ed_ref,
+    def kernel(y_ref, xi_ref, nk_ref, sc_ref, tt_ref, d_ref, ed_ref,
                y_out, u_out, v_out):
         xi_col = xi_ref[0].astype(jnp.int32)
-        y, u, v = _b_front(cfg, w, wp, w2, wp2, y_ref[0], xi_col,
-                           cn_ref[0, 0], cn_ref[0, 1],
+        y, u, v = _b_front(cfg, w, wp, w2, wp2, l, tl, y_ref[0], xi_col,
+                           nk_ref[0, 0, 1].astype(jnp.uint32),
                            sc_ref[0, :, 0:1], sc_ref[0, :, 1:2],
                            tt_ref, d_ref, ed_ref[...])
         y_out[0] = y
@@ -400,16 +411,10 @@ def composite_video_process_fused(
         cfg.ntsc, gen1=True)
     keys = [field_stage_keys(key, fieldno, sid) for sid in range(5)]
 
-    if cfg.video_noise != 0:
-        vwalk = c_int(smoothed_noise_walk_rows(
-            keys[0], l, w, cfg.video_noise, dtype=dtype))
-    else:
-        vwalk = jnp.zeros((b, l, w), dtype)
-    if cfg.video_chroma_noise != 0:
-        cwalk = c_int(chroma_noise_walk_rows(
-            keys[2], l, w2, cfg.video_chroma_noise, dtype=dtype))
-    else:
-        cwalk = jnp.zeros((b, 2, l, w2), dtype)
+    # per-pixel walk streams generated IN-KERNEL from these stream ids
+    # (see fused_yiq._walk_rows_kernel); chroma streams index at half width
+    keys_ab = jnp.stack([keys[0], keys[2]],
+                    axis=-1).astype(jnp.int32)[:, None, :]  # [B,1,2]
     if cfg.video_chroma_phase_noise != 0:
         pwalk = random_walk_per_field(keys[3], l, cfg.video_chroma_phase_noise,
                                       dtype=dtype)
@@ -457,9 +462,6 @@ def composite_video_process_fused(
     yf = padl(padw(y.astype(dtype), w, wp))
     uf = padl(padw(u.astype(jnp.int32).astype(dtype), w2, wp2))
     vf = padl(padw(v.astype(jnp.int32).astype(dtype), w2, wp2))
-    vwalk_p = padl(padw(vwalk, w, wp))
-    cwalk_p = jnp.swapaxes(
-        padl(jnp.swapaxes(padw(cwalk, w2, wp2), 1, 2)), 1, 2)
     xi_col = padl(xi[..., None].astype(jnp.float32))
     sincos_p = padl(sincos)
     keep_p = padl(keep)
@@ -480,20 +482,20 @@ def composite_video_process_fused(
                            memory_space=pltpu.VMEM)
     spec_eu = pl.BlockSpec(eu_np.shape, lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
-    spec_cn = pl.BlockSpec((1, 2, tl, wp2), lambda i, j: (i, 0, j, 0),
-                           memory_space=pltpu.VMEM)
+    spec_nk = pl.BlockSpec((1, 1, 2), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.SMEM)
     grid = (b, n_lt)
 
-    kernel_a = _make_kernel_a(cfg, w, wp, w2, wp2)
+    kernel_a = _make_kernel_a(cfg, w, wp, w2, wp2, tl)
     y_enc = pl.pallas_call(
         kernel_a,
         out_shape=jax.ShapeDtypeStruct((b, lp, wp), dtype),
         grid=grid,
-        in_specs=[spec_full, spec_half, spec_half, spec_col, spec_full,
+        in_specs=[spec_full, spec_half, spec_half, spec_col, spec_nk,
                   spec_tt, spec_d, spec_eu],
         out_specs=spec_full,
         interpret=interpret,
-    )(yf, uf, vf, xi_col, vwalk_p, tts, ds, eu)
+    )(yf, uf, vf, xi_col, keys_ab, tts, ds, eu)
 
     if cfg.vhs_head_switching:
         y_hs = yiq_mod.head_switching_stage(
@@ -510,27 +512,27 @@ def composite_video_process_fused(
     do_vblend = (cfg.emulating_vhs and cfg.vhs_chroma_vert_blend
                  and cfg.ntsc)
     if single_tile:
-        kernel_b = _make_kernel_b(cfg, w, wp, w2, wp2)
+        kernel_b = _make_kernel_b(cfg, w, wp, w2, wp2, l, tl)
         y_o, u_o, v_o = pl.pallas_call(
             kernel_b,
             out_shape=out_shapes,
             grid=grid,
-            in_specs=[spec_full, spec_col, spec_cn, spec_sc, spec_col,
+            in_specs=[spec_full, spec_col, spec_nk, spec_sc, spec_col,
                       spec_tt, spec_d, spec_ed, spec_eu],
             out_specs=(spec_full, spec_half, spec_half),
             interpret=interpret,
-        )(y_enc, xi_col, cwalk_p, sincos_p, keep_p, tts, ds, ed, eu)
+        )(y_enc, xi_col, keys_ab, sincos_p, keep_p, tts, ds, ed, eu)
     else:
-        kernel_b1 = _make_kernel_b1(cfg, w, wp, w2, wp2)
+        kernel_b1 = _make_kernel_b1(cfg, w, wp, w2, wp2, l, tl)
         y2, u2, v2 = pl.pallas_call(
             kernel_b1,
             out_shape=out_shapes,
             grid=grid,
-            in_specs=[spec_full, spec_col, spec_cn, spec_sc,
+            in_specs=[spec_full, spec_col, spec_nk, spec_sc,
                       spec_tt, spec_d, spec_ed],
             out_specs=(spec_full, spec_half, spec_half),
             interpret=interpret,
-        )(y_enc, xi_col, cwalk_p, sincos_p, tts, ds, ed)
+        )(y_enc, xi_col, keys_ab, sincos_p, tts, ds, ed)
         if do_vblend:
             xw2 = jnp.arange(wp2)[None, None, :]
 
