@@ -194,7 +194,18 @@ def _run_common(st, gen1: bool):
                 print("Resume: audio output already complete; skipping",
                       file=sys.stderr)
             else:
-                pipe.run_audio(st.audio_in, audio_dst)
+                pts_packets = None
+                if st.audio_pts_in:
+                    pts_packets = []
+                    with open(st.audio_pts_in) as f:
+                        for line in f:
+                            parts = line.split()
+                            if parts:
+                                pts_packets.append(
+                                    (None if parts[0] == "none"
+                                     else int(parts[0]), int(parts[1])))
+                pipe.run_audio(st.audio_in, audio_dst,
+                               pts_packets=pts_packets)
             if want_mux:
                 mux_wav = audio_dst
     try:

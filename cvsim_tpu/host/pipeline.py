@@ -482,13 +482,16 @@ class CompositePipeline:
 
     # ----------------------------------------------------------- audio side
 
-    def run_audio(self, in_path: str, out_path: str, chunk: int = 65536):
+    def run_audio(self, in_path: str, out_path: str, chunk: int = 65536,
+                  pts_packets=None):
         cfg = self.cfg
         acfg = cfg.audio
         from cvsim_tpu.host import ffmpeg_pipe
 
         samples, rate = ffmpeg_pipe.resolve_audio_input(
             in_path, acfg.rate, acfg.channels)
+        if pts_packets:
+            samples = _audio_pad_fill(samples, pts_packets, rate)
         if rate != acfg.rate:
             samples = _resample_sinc(samples, rate, acfg.rate)
         if samples.shape[1] != acfg.channels:
@@ -518,6 +521,34 @@ class CompositePipeline:
         result = np.concatenate(outs) if outs else np.zeros((0, acfg.channels))
         wavio.write_wav(out_path, result.astype(np.int16), acfg.rate)
         return len(result)
+
+
+def _audio_pad_fill(samples: np.ndarray, packets, rate: int) -> np.ndarray:
+    """Close audio PTS gaps with silence so audio stays on the video master
+    clock (ffmpeg_to_composite.cpp:1892-1915: when a packet's target sample
+    runs ahead of the running counter, silence is written first; small
+    backward jitter is held via the rate/30 slack of audio_target_sample).
+
+    packets: [(pts_in_samples, n_samples), ...] in stream order, pts at the
+    source rate (the shape an ffprobe/demuxer packet dump reduces to —
+    sidecar-log driven like `cvsim normalize-ts -pts-in`). Samples beyond
+    the log's coverage pass through unchanged."""
+    out = []
+    cur = 0          # master-clock sample counter (output position)
+    pos = 0          # consumed source samples
+    width = samples.shape[1:]
+    for pts, n in packets:
+        tgt = timing.audio_target_sample(pts, cur, rate)
+        if tgt > cur:
+            out.append(np.zeros((tgt - cur,) + width, samples.dtype))
+            cur = tgt
+        part = samples[pos:pos + n]
+        out.append(part)
+        pos += len(part)
+        cur += len(part)
+    if pos < len(samples):
+        out.append(samples[pos:])
+    return np.concatenate(out) if out else samples
 
 
 def _resample_linear(samples: np.ndarray, src_rate: int, dst_rate: int):

@@ -31,6 +31,7 @@ class FlagState:
     output_file: str = ""
     audio_in: str = ""
     audio_out: str = ""
+    audio_pts_in: str = ""     # sidecar packet log: close PTS gaps with silence
     audio_stream_index: int = 0
     video_stream_index: int = 0
 
@@ -276,6 +277,9 @@ COMPOSITE_HELP = """\
 -i <input file>              Y4M video in (gen-2 'ntsc': repeatable, layered)
 -o <output file>             Y4M video out
 -audio-in / -audio-out       sidecar WAV audio in/out
+-audio-pts-in <file>         audio packet log '<pts_samples> <nsamples>'
+                             per line; silence pad-fills PTS gaps
+                             (A/V master-clock repair, reference :1892-1915)
 -tvstd <pal|ntsc>            raster/timing preset
 -vhs                         VHS artifact emulation preset
 -vhs-hifi <0|1>              Hi-Fi vs linear audio track (default on)
@@ -449,6 +453,8 @@ def parse_composite_flags(argv: Sequence[str], gen2: bool = False) -> FlagState:
             st.audio_in = take()
         elif a == "audio-out":
             st.audio_out = take()
+        elif a == "audio-pts-in":
+            st.audio_pts_in = take()
         elif a == "seed":
             st.seed = int(take())
         elif a == "vhs-speed":

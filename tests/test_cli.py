@@ -136,6 +136,38 @@ def test_cassette_cli(tmp_path):
     np.testing.assert_array_equal(got[:, 0], got[:, 1])  # mono downmix
 
 
+def test_audio_pts_gap_pad_fill(tmp_path):
+    """-audio-pts-in closes PTS gaps with silence on the A/V master clock
+    (ffmpeg_to_composite.cpp:1892-1915): two 2000-sample packets with a
+    1000-sample gap between them come out 5000 samples long with the gap
+    silent; a small backward jitter (< rate/30) is held, not duplicated."""
+    from cvsim_tpu.host.pipeline import _audio_pad_fill
+
+    t = np.arange(4000)
+    sine = (9000 * np.sin(2 * np.pi * 440 * t / 44100)).astype(np.int16)
+    ain = str(tmp_path / "a.wav")
+    aout = str(tmp_path / "ao.wav")
+    wavio.write_wav(ain, np.stack([sine, sine], -1), 44100)
+    log = tmp_path / "apts.txt"
+    # pkt0 at sample 0 (2000 samples), pkt1 at 3000 -> 1000-sample gap,
+    # pkt2 claims pts 3900 (backward jitter vs counter 4000 -> held)
+    log.write_text("0 2000\n3000 1000\n3900 1000\n")
+    rc = main(["to-composite", "-audio-in", ain, "-audio-out", aout,
+               "-audio-pts-in", str(log), "-vhs-hifi", "0"])
+    assert rc == 0
+    got, rate = wavio.read_wav(aout)
+    assert len(got) == 5000
+
+    # engine-level: the inserted region is exactly silence pre-chain
+    padded = _audio_pad_fill(
+        np.stack([sine, sine], -1).astype(np.int64),
+        [(0, 2000), (3000, 1000), (3900, 1000)], 44100)
+    assert padded.shape[0] == 5000
+    np.testing.assert_array_equal(padded[2000:3000], 0)
+    np.testing.assert_array_equal(padded[:2000], np.stack([sine, sine], -1)[:2000])
+    np.testing.assert_array_equal(padded[3000:], np.stack([sine, sine], -1)[2000:])
+
+
 def test_to_composite_audio_sidecar(tmp_path):
     t = np.arange(6000)
     sine = (9000 * np.sin(2 * np.pi * 440 * t / 44100)).astype(np.int16)
