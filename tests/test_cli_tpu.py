@@ -1,0 +1,54 @@
+"""Hardware-gated CLI test: the fused Pallas path through the REAL tool.
+
+Round-1 weak spot: CI runs the CLI on CPU only, so the auto-dispatched
+fused kernels were exercised in-product only by manual checksum runs. This
+test spawns the CLI in a subprocess WITHOUT the conftest CPU pin (so it
+sees whatever accelerator the environment has) and demands the fused
+(default) and XLA (CVSIM_FUSED=0) paths produce byte-identical output.
+
+Skipped when no TPU is attached (the two paths then coincide trivially) —
+run on a TPU host to validate the product path on hardware:
+    python -m pytest tests/test_cli_tpu.py -q
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.test_cli import make_clip, read_all, W
+
+
+def _tpu_available() -> bool:
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.default_backend())"],
+        capture_output=True, text=True, timeout=600,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("JAX_PLATFORMS",)} | {"JAX_PLATFORMS": ""})
+    return probe.returncode == 0 and "tpu" in probe.stdout
+
+
+@pytest.mark.skipif("CVSIM_TPU_TESTS" not in os.environ,
+                    reason="set CVSIM_TPU_TESTS=1 on a TPU host (slow: "
+                           "first Pallas compile is minutes on dev tunnels)")
+def test_cli_fused_equals_xla_on_hardware(tmp_path):
+    if not _tpu_available():
+        pytest.skip("no TPU backend available")
+    src = make_clip(str(tmp_path / "in.y4m"))
+    outs = {}
+    for tag, fused in (("fused", "1"), ("xla", "0")):
+        out = str(tmp_path / f"{tag}.y4m")
+        env = dict(os.environ, CVSIM_FUSED=fused)
+        env.pop("JAX_PLATFORMS", None)
+        r = subprocess.run(
+            [sys.executable, "-m", "cvsim_tpu", "to-composite",
+             "-i", src, "-o", out, "-width", str(W),
+             "-vhs", "-vhs-speed", "ep", "-seed", "3"],
+            env=env, capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = open(out, "rb").read()
+    assert outs["fused"] == outs["xla"]
+    assert len(read_all(str(tmp_path / "fused.y4m"))[1]) == 8
