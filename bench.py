@@ -180,7 +180,11 @@ def e2e_fields_per_sec() -> tuple[float, float]:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
     overall = 600 / times[300]
-    steady = (600 - 8) / max(times[300] - times[4], 1e-9)
+    # The 4-frame run eats any cold compile; if the cache was cold enough
+    # that it exceeded the 300-frame run, the subtraction is meaningless —
+    # report overall as the (conservative) steady figure instead.
+    dt = times[300] - times[4]
+    steady = (600 - 8) / dt if dt > 1.0 else overall
     return overall, steady
 
 

@@ -196,14 +196,18 @@ def _run_common(st, gen1: bool):
             else:
                 pts_packets = None
                 if st.audio_pts_in:
-                    pts_packets = []
+                    log_rate, pkts = None, []
                     with open(st.audio_pts_in) as f:
                         for line in f:
                             parts = line.split()
-                            if parts:
-                                pts_packets.append(
-                                    (None if parts[0] == "none"
-                                     else int(parts[0]), int(parts[1])))
+                            if not parts:
+                                continue
+                            if parts[0] == "rate":
+                                log_rate = int(parts[1])
+                                continue
+                            pkts.append((None if parts[0] == "none"
+                                         else int(parts[0]), int(parts[1])))
+                    pts_packets = (log_rate, pkts)
                 pipe.run_audio(st.audio_in, audio_dst,
                                pts_packets=pts_packets)
             if want_mux:
@@ -222,8 +226,18 @@ def _run_common(st, gen1: bool):
             try:
                 fields = pipe.run_video(reader, out_stream,
                                         ckpt_path=ckpt_path)
-            finally:
+            except BaseException:
+                # closing a half-fed encoder raises a secondary error
+                # (ffmpeg exits nonzero on the truncated stream) that must
+                # not mask the root cause
+                try:
+                    finalize()
+                except Exception:
+                    pass
+                raise
+            else:
                 finalize()
+            finally:
                 rclean()
     finally:
         if audio_tmp:

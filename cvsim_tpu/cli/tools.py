@@ -515,7 +515,8 @@ def run_normalize_ts(argv):
         for sidx, pts in packets:
             st = states.setdefault(
                 sidx, timing.StreamTsState(max_forward=maxfwd))
-            lines.append(f"{sidx} {st.rewrite(pts)}")
+            p = st.rewrite(pts)
+            lines.append(f"{sidx} {'none' if p is None else p}")
         out_path = args.extra.get("pts_out", args.extra["pts_in"] + ".norm")
         with open(out_path, "w") as f:
             f.write("\n".join(lines) + "\n")

@@ -39,7 +39,7 @@ class GopBatch:
     """One fixed-shape device dispatch worth of work."""
 
     pix: np.ndarray        # flat uint8: frames_y | frames_u | frames_v
-    meta: np.ndarray       # int32 [4*B]: src_idx | code | fieldno | parity
+    meta: np.ndarray       # int32 [5*B]: src_idx | code | fieldno | parity | valid
     fieldno: np.ndarray    # [B] int32 (host copy for the emit side)
     parity: np.ndarray     # [B] int32
     n_real: int            # fields to emit (rest is padding)
@@ -127,9 +127,12 @@ class FieldBatcher:
             fu[k * self._cbytes:(k + 1) * self._cbytes] = u.ravel()
             fv[k * self._cbytes:(k + 1) * self._cbytes] = v.ravel()
 
+        # valid marks real fields: padding duplicates must not advance
+        # stateful carries (the black-key feedback frame) on device
         meta = np.asarray(
             [f[0] for f in fields] + [f[1] for f in fields]
-            + [f[2] for f in fields] + [f[3] for f in fields], np.int32)
+            + [f[2] for f in fields] + [f[3] for f in fields]
+            + [1] * n_real + [0] * (self.gop - n_real), np.int32)
         batch = GopBatch(
             pix=pix, meta=meta,
             fieldno=np.asarray([f[2] for f in fields], np.int32),

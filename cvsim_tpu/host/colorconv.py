@@ -14,15 +14,17 @@ import numpy as np
 
 def hscale_bilinear(plane, dst_w: int):
     """Horizontal-only bilinear resize of [..., W] to [..., dst_w]
-    (the sws SWS_BILINEAR role for width conversion)."""
+    (the sws SWS_BILINEAR role for width conversion). Index/weight
+    constants are shared with the batched GOP program
+    (batching.hscale_consts) so the two paths stay bit-identical by
+    construction."""
+    from cvsim_tpu.host.batching import hscale_consts
+
     src_w = plane.shape[-1]
-    if src_w == dst_w:
+    consts = hscale_consts(src_w, dst_w)
+    if consts is None:
         return jnp.asarray(plane)
-    # center-aligned sampling
-    xs = (np.arange(dst_w) + 0.5) * src_w / dst_w - 0.5
-    x0 = np.clip(np.floor(xs).astype(np.int64), 0, src_w - 1)
-    x1 = np.minimum(x0 + 1, src_w - 1)
-    f = (xs - x0).astype(np.float32)
+    x0, x1, f = consts
     p = jnp.asarray(plane).astype(jnp.float32)
     s0 = p[..., x0]
     s1 = p[..., x1]

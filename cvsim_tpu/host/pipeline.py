@@ -50,16 +50,25 @@ from cvsim_tpu.audio import (
 )
 
 
-def _bkey_scan(y, u, v, fy, fu, fv, level: int):
-    """Sequential black-key feedback over the batch axis inside jit."""
+def _bkey_scan(y, u, v, fy, fu, fv, level: int, valid):
+    """Sequential black-key feedback over the batch axis inside jit.
+
+    `valid` [B] freezes the carried filter planes on padded batch slots —
+    padding repeats the last real field, and letting duplicates advance the
+    frame-sequential feedback would corrupt every later field (and the
+    checkpointed carry) whenever a batch is padded or early-flushed."""
     def step(carry, planes):
         cfy, cfu, cfv = carry
-        py, pu, pv = planes
+        py, pu, pv, vld = planes
         (oy, ou, ov), (nfy, nfu, nfv) = yuv422.black_key_feedback(
             py, pu, pv, cfy, cfu, cfv, level)
-        return (nfy, nfu, nfv), (oy, ou, ov)
+        keep = vld != 0
+        nxt = (jnp.where(keep, nfy, cfy), jnp.where(keep, nfu, cfu),
+               jnp.where(keep, nfv, cfv))
+        return nxt, (oy, ou, ov)
 
-    (fy, fu, fv), (oy, ou, ov) = jax.lax.scan(step, (fy, fu, fv), (y, u, v))
+    (fy, fu, fv), (oy, ou, ov) = jax.lax.scan(
+        step, (fy, fu, fv), (y, u, v, valid))
     return (oy, ou, ov), (fy, fu, fv)
 
 
@@ -147,6 +156,7 @@ class CompositePipeline:
             code = jax.lax.slice(meta, (gop,), (2 * gop,))
             fieldno = jax.lax.slice(meta, (2 * gop,), (3 * gop,))
             parity = jax.lax.slice(meta, (3 * gop,), (4 * gop,))
+            valid = jax.lax.slice(meta, (4 * gop,), (5 * gop,))
 
             sy = hscale(fy, luma_consts)
             su = hscale(fu, chroma_consts)
@@ -167,7 +177,7 @@ class CompositePipeline:
             v = render(sv, ct1, ct2, ctf)
             if bkey >= 0:
                 (y, u, v), filter_planes = _bkey_scan(
-                    y, u, v, *filter_planes, bkey)
+                    y, u, v, *filter_planes, bkey, valid)
             if cfg.enable_composite_emulation:
                 y, u, v = yuv422.composite_video_process_auto(
                     y, u, v, fieldno, parity, key, cfg=ccfg, dtype=dtype)
@@ -451,27 +461,39 @@ class CompositePipeline:
         wt = threading.Thread(target=write_loop, name="cvsim-write", daemon=True)
         rt.start()
         wt.start()
-        while True:
-            b = q_in.get()
-            if b is None:
-                break
-            # noise is content-addressed per (seed, fieldno, stage): the base
-            # key passes straight through so output is GOP- and
-            # restart-invariant
-            t0 = time.perf_counter()
-            half_a, half_b, self._filter_planes = gop_step(
-                b.pix, b.meta, self.key, self._filter_planes)
-            half_a.copy_to_host_async()
-            half_b.copy_to_host_async()
-            if trace:
-                print(f"[timing] dispatch {time.perf_counter()-t0:6.3f}s "
-                      f"(batch of {b.n_real})", file=sys.stderr)
-            q_out.put((half_a, half_b, b.fieldno, b.parity, b.n_real,
-                       self._filter_planes))
-        q_out.put(None)
-        rt.join()
-        wt.join()
-        fetch_pool.shutdown(wait=False)
+        try:
+            while True:
+                b = q_in.get()
+                if b is None:
+                    break
+                # noise is content-addressed per (seed, fieldno, stage): the
+                # base key passes straight through so output is GOP- and
+                # restart-invariant
+                t0 = time.perf_counter()
+                half_a, half_b, self._filter_planes = gop_step(
+                    b.pix, b.meta, self.key, self._filter_planes)
+                half_a.copy_to_host_async()
+                half_b.copy_to_host_async()
+                if trace:
+                    print(f"[timing] dispatch {time.perf_counter()-t0:6.3f}s "
+                          f"(batch of {b.n_real})", file=sys.stderr)
+                q_out.put((half_a, half_b, b.fieldno, b.parity, b.n_real,
+                           self._filter_planes))
+        finally:
+            # always unwind the threads, also when gop_step raised: the
+            # writer needs its sentinel, and the reader may be blocked on a
+            # full q_in — drain until it exits so no thread outlives us
+            # holding file handles and device buffers
+            q_out.put(None)
+            while rt.is_alive():
+                try:
+                    while True:
+                        q_in.get_nowait()
+                except queue.Empty:
+                    pass
+                rt.join(timeout=0.1)
+            wt.join()
+            fetch_pool.shutdown(wait=False)
         if errors:
             raise errors[0]
         if ckpt_path:
@@ -491,7 +513,9 @@ class CompositePipeline:
         samples, rate = ffmpeg_pipe.resolve_audio_input(
             in_path, acfg.rate, acfg.channels)
         if pts_packets:
-            samples = _audio_pad_fill(samples, pts_packets, rate)
+            log_rate, pkts = pts_packets
+            samples = _audio_pad_fill(samples, pkts, rate,
+                                      log_rate=log_rate)
         if rate != acfg.rate:
             samples = _resample_sinc(samples, rate, acfg.rate)
         if samples.shape[1] != acfg.channels:
@@ -523,16 +547,23 @@ class CompositePipeline:
         return len(result)
 
 
-def _audio_pad_fill(samples: np.ndarray, packets, rate: int) -> np.ndarray:
+def _audio_pad_fill(samples: np.ndarray, packets, rate: int,
+                    log_rate: int | None = None) -> np.ndarray:
     """Close audio PTS gaps with silence so audio stays on the video master
     clock (ffmpeg_to_composite.cpp:1892-1915: when a packet's target sample
     runs ahead of the running counter, silence is written first; small
     backward jitter is held via the rate/30 slack of audio_target_sample).
 
-    packets: [(pts_in_samples, n_samples), ...] in stream order, pts at the
-    source rate (the shape an ffprobe/demuxer packet dump reduces to —
-    sidecar-log driven like `cvsim normalize-ts -pts-in`). Samples beyond
-    the log's coverage pass through unchanged."""
+    packets: [(pts_in_samples, n_samples), ...] in stream order, pts in
+    samples at the rate the log was authored against — by default the rate
+    of the DELIVERED stream (`rate`; the ffmpeg ingest path delivers the
+    output rate, not the container's). A log authored at the container's
+    native rate declares it with a `rate <hz>` first line and both pts and
+    n are rescaled here. Samples beyond the log's coverage pass through
+    unchanged."""
+    if log_rate and log_rate != rate:
+        packets = [(None if p is None else round(p * rate / log_rate),
+                    round(n * rate / log_rate)) for p, n in packets]
     out = []
     cur = 0          # master-clock sample counter (output position)
     pos = 0          # consumed source samples

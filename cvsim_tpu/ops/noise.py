@@ -96,9 +96,11 @@ def smoothed_noise_walk(key, shape, mag: int, axis: int = -1, dtype=jnp.float32)
 
 def uniform_pm1(key, shape=(), dtype=jnp.float32):
     """Uniform in [-1, 1) — used for head-switching phase jitter
-    (ffmpeg_to_composite.cpp:675-680)."""
+    (ffmpeg_to_composite.cpp:675-680). Uses the top 24 bits so every value
+    is exactly representable in f32 and the half-open bound holds (full
+    32-bit values near 2^32 would round UP to 2^32 and map to +1.0)."""
     bits = _bits(_key32(key), _counters(shape)).reshape(shape)
-    return bits.astype(dtype) * dtype(2.0 ** -31) - dtype(1.0)
+    return (bits >> 8).astype(dtype) * dtype(2.0 ** -23) - dtype(1.0)
 
 
 def field_stage_keys(key, fieldno, stage: int):
@@ -164,8 +166,9 @@ def chroma_noise_walk_rows(keys, l: int, w: int, mag: int,
 
 
 def uniform_pm1_per_field(keys, dtype=jnp.float32):
+    """[-1, 1), exact-in-f32 (see uniform_pm1)."""
     bits = _bits(keys, jnp.zeros_like(keys))
-    return bits.astype(dtype) * dtype(2.0 ** -31) - dtype(1.0)
+    return (bits >> 8).astype(dtype) * dtype(2.0 ** -23) - dtype(1.0)
 
 
 def hiss_per_sample(key, start, n: int, c: int, level: int,

@@ -253,7 +253,7 @@ def test_normalize_ts_packet_log(tmp_path):
     # jump -> clamped to maxfwd. stream 1 interleaved with its own jump.
     log.write_text(
         "0 1000\n1 10\n0 2000\n1 20\n0 3000\n1 5\n0 1500\n0 2500\n"
-        "0 103000\n0 104000\n1 30\n")
+        "0 103000\n0 104000\n1 30\n0 none\n")
     norm = tmp_path / "pts_norm.txt"
     rc = main(["normalize-ts", "-i", src, "-o", out,
                "-pts-in", str(log), "-pts-out", str(norm), "-maxfwd", "4000"])
@@ -261,9 +261,16 @@ def test_normalize_ts_packet_log(tmp_path):
     lines = [l.split() for l in norm.read_text().splitlines()]
     per_stream = {}
     for sidx, pts in lines:
-        per_stream.setdefault(sidx, []).append(int(pts))
-    assert per_stream["0"] == [1000, 2000, 3000, 3000, 4000, 8000, 9000]
+        per_stream.setdefault(sidx, []).append(
+            None if pts == "none" else int(pts))
+    # a no-PTS packet round-trips as 'none' (the documented token), so the
+    # normalized log is itself valid -pts-in input
+    assert per_stream["0"] == [1000, 2000, 3000, 3000, 4000, 8000, 9000,
+                               None]
     assert per_stream["1"] == [10, 20, 20, 45]
+    rc = main(["normalize-ts", "-i", src, "-o", out,
+               "-pts-in", str(norm), "-pts-out", str(tmp_path / "n2.txt")])
+    assert rc == 0
     _, frames = read_all(out)
     assert len(frames) == FRAMES
 
@@ -406,6 +413,42 @@ def test_bkey_state_carries_across_batches(tmp_path):
     for f4, f8 in zip(outs[4], outs[8]):
         np.testing.assert_array_equal(f4[0], f8[0])
         np.testing.assert_array_equal(f4[1], f8[1])
+
+
+def test_bkey_padded_batches_do_not_advance_carry(tmp_path):
+    """Early-flushed batches (59.94p source: one field per frame overflows
+    the frame slots, so every batch pads) must match a batch size that
+    never pads mid-stream. Two mechanisms protect this: black_key_feedback
+    is idempotent on a repeated field (filter := keyed output), AND
+    _bkey_scan freezes the carry on padded slots outright (meta `valid`),
+    so the invariant survives any future padding-semantics change."""
+    from cvsim_tpu.host.pipeline import CompositePipeline
+    from cvsim_tpu.presets import parse_composite_flags
+
+    src = str(tmp_path / "in.y4m")
+    hdr = y4m.Y4MHeader(width=W, height=H, fps=Fraction(60000, 1001),
+                        colorspace="420jpeg")
+    rng = np.random.default_rng(2)
+    with open(src, "wb") as f:
+        wr = y4m.Y4MWriter(f, hdr)
+        for k in range(12):
+            wr.write(rng.integers(16, 236, (H, W), dtype=np.uint8),
+                     rng.integers(100, 156, (H // 2, W // 2), dtype=np.uint8),
+                     rng.integers(100, 156, (H // 2, W // 2), dtype=np.uint8))
+    outs = {}
+    for gop in (2, 8):   # gop=8 -> max_frames=6 -> early flush + padding
+        st = parse_composite_flags(
+            ["-width", str(W), "-noise", "0", "-bkey-feedback", "20"])
+        pipe = CompositePipeline(st.to_run_config(gen1=True), gop=gop,
+                                 progress=False)
+        out = str(tmp_path / f"b{gop}.y4m")
+        with open(src, "rb") as fin, open(out, "wb") as fout:
+            pipe.run_video(y4m.Y4MReader(fin), fout)
+        outs[gop] = read_all(out)[1]
+    assert len(outs[2]) == len(outs[8])
+    for f2, f8 in zip(outs[2], outs[8]):
+        np.testing.assert_array_equal(f2[0], f8[0])
+        np.testing.assert_array_equal(f2[1], f8[1])
 
 
 def test_transcode_window(tmp_path):
