@@ -122,26 +122,38 @@ def hunt_vsync(dc: np.ndarray, raw: np.ndarray, raw_len: int,
 def relock_hsync(dc: np.ndarray, pos: int, window_back: int, raw_len: int,
                  threshold: int = SYNC_THRESHOLD):
     """Per-line hsync re-lock (:793-833): look from pos-window for the next
-    hsync-length pulse; returns (new_pos, hit_vsync)."""
+    hsync-length pulse; returns (new_pos, hit_vsync).
+
+    The scan is bounded (the next pulse is ~one line ahead; the reference
+    stops at the first hit) and widens only on a miss — a full-tail RLE per
+    line made decode_field quadratic in the buffered sample count."""
     start = max(0, pos - window_back)
-    starts, ends = runs_below(dc[start:], threshold)
-    vsb = 0
-    skip_until = -1
-    for s, e in zip(starts, ends):
-        if s < skip_until:
-            continue
-        synclen = e - s
-        if synclen >= int(raw_len * 0.3):
-            vsb += 1
-            skip_until = s + int(raw_len * 0.3)
-        elif synclen >= int(raw_len * 0.06):
-            return start + s + synclen // 2, False
-        elif synclen >= int(raw_len * 0.02):
-            vsb += 1
-            skip_until = s + int(raw_len * 0.3)
-        if vsb >= 9:
-            return pos, True
-    return pos, False
+    win = window_back + 4 * raw_len
+    while True:
+        seg = dc[start:start + win]
+        at_tail = start + win >= len(dc)
+        starts, ends = runs_below(seg, threshold)
+        vsb = 0
+        skip_until = -1
+        for s, e in zip(starts, ends):
+            if e == len(seg) and not at_tail:
+                break   # truncated pulse: re-evaluate in the wider window
+            if s < skip_until:
+                continue
+            synclen = e - s
+            if synclen >= int(raw_len * 0.3):
+                vsb += 1
+                skip_until = s + int(raw_len * 0.3)
+            elif synclen >= int(raw_len * 0.06):
+                return start + s + synclen // 2, False
+            elif synclen >= int(raw_len * 0.02):
+                vsb += 1
+                skip_until = s + int(raw_len * 0.3)
+            if vsb >= 9:
+                return pos, True
+        if at_tail:
+            return pos, False
+        win *= 2
 
 
 # ------------------------------------------------------------- device-side
@@ -230,9 +242,11 @@ def decode_lines(
         for _ in range(4):
             cpad = jnp.pad(chroma, [(0, 0), (0, 4)])
             chroma = chroma - c_div(sl(cpad, 0, raw_len) + sl(cpad, 4, raw_len), 2)
-        # shift by 16 and /4 renormalize (:755-757); head keeps zeros
-        shifted = jnp.pad(c_div(chroma, 4), [(0, 0), (16, 0)])[:, :raw_len]
-        chroma = shifted
+        # shift by 16 and /4 renormalize (:749-751): the backward loop
+        # writes x+16 only, so columns 0..15 KEEP the pre-shift denoised
+        # (undivided) values — they feed the first 16 output pixels' luma
+        chroma = jnp.concatenate(
+            [chroma[:, :16], c_div(chroma, 4)[:, : raw_len - 16]], axis=-1)
         luma = x[:, :raw_len] - chroma
     else:
         luma = x[:, :raw_len]

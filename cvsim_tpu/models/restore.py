@@ -127,17 +127,19 @@ def filmac_measure(rgb, gamma_dec=None):
 
     pix_min = jnp.min(lf, axis=-1)
     pix_max = jnp.max(lf, axis=-1)
-    region_max = jnp.max(pix_max[:, minx:maxx])
+    blw = blh = 128
+    # blocks start at minx + k*128 while < maxx and each spans to x0+128
+    # clipped only by the frame width (filmac.cpp:904 guards x+sx against
+    # output_width, not maxx) — BOTH the per-pixel max and the block mins
+    # see pixels past maxx up to the last block's end
+    xe = min(w, minx + (-(-(maxx - minx) // blw)) * blw)
+    region_max = jnp.max(pix_max[:, minx:xe])
     maxv = max(maxv, int(region_max))
 
     # block means of per-pixel channel-min over 128x128 blocks
-    blw = blh = 128
     block_mins = []
     for y0 in range(0, h, blh):
         for x0 in range(minx, maxx, blw):
-            blk = pix_min[y0:min(y0 + blh, h), x0:min(x0 + blw, w)]
-            # the reference clips block pixels to the frame; x range is
-            # bounded by maxx in the loop but pixels up to x0+128 count
             blk = pix_min[y0:min(y0 + blh, h), x0:min(x0 + blw, w)]
             grd = blk.size
             s = int(jnp.sum(blk))

@@ -77,7 +77,22 @@ def colorkey_apply(dst, src, key, *, color: tuple, threshhold: int,
 
     if noisekey > 0:
         r = jax.random.randint(key, d.shape, 0, 20001)
-        d = jnp.where(r < noisekey, 0xFFFF, d)
+        hit = r < noisekey
+        if xdivr > 1:
+            # the reference's noise overrides the HELD decision variable d
+            # (ffmpeg_colorkey.cpp:861-864 mutate d in place), so a hit
+            # persists for the remaining pixels of its xdivr group —
+            # punch-through streaks up to xdivr long, not 1-pixel specks:
+            # prefix-OR within each group
+            w = d.shape[-1]
+            pad = -w % xdivr
+            hp = (jnp.concatenate(
+                [hit, jnp.zeros(hit.shape[:-1] + (pad,), bool)], axis=-1)
+                if pad else hit)
+            hp = hp.reshape(hit.shape[:-1] + (-1, xdivr)).astype(jnp.int32)
+            hp = jax.lax.cummax(hp, axis=hp.ndim - 1)
+            hit = (hp.reshape(hit.shape[:-1] + (w + pad,)) > 0)[..., :w]
+        d = jnp.where(hit, 0xFFFF, d)
 
     if fade != 0:
         dst = (dst * (256 - fade)) >> 8

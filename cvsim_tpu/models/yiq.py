@@ -316,11 +316,21 @@ def head_switching_stage(
     else:
         noise = jnp.zeros((b,), dtype)
 
-    p_y = (jnp.mod(point + noise, 1.0) * t).astype(jnp.int32)
-    p_x = (jnp.mod(phase + noise, 1.0) * t).astype(jnp.int32)
+    # C semantics (ffmpeg_ntsc.cpp:1666-1670): fmod is SIGN-PRESERVING and
+    # the (unsigned int) cast truncates toward zero then wraps mod 2^32.
+    # Negative phase/point (large -hs-noise draws or negative flag values)
+    # therefore wraps to a huge p — switch line far below the raster (no
+    # bar), x at the wrapped residue — not the positive jnp.mod.
+    def c_wrap_u32(v):
+        f = v - jnp.trunc(v)                       # fmod(v, 1.0)
+        return jnp.trunc(f * t).astype(jnp.int32).astype(jnp.uint32)
+
+    p_y = c_wrap_u32(point + noise)
+    p_x = c_wrap_u32(phase + noise)
     vis_off = (262 - 240) * 2 if ntsc else (312 - 288) * 2
-    y_start = (p_y // twidth) * 2 + field_parity.astype(jnp.int32) - vis_off
-    x_pos = p_x % twidth
+    y_start = ((p_y // np.uint32(twidth)).astype(jnp.int32) * 2
+               + field_parity.astype(jnp.int32) - vis_off)
+    x_pos = (p_x % np.uint32(twidth)).astype(jnp.int32)
     ishif = jnp.where(x_pos >= twidth // 2, x_pos - twidth, x_pos)
 
     # frame row y maps to field line l = (y - parity)/2; y_start already has

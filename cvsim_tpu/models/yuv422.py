@@ -353,16 +353,21 @@ def composite_video_process_auto(y, u, v, fieldno, field_parity, key, *,
 def black_key_feedback(y, u, v, fy, fu, fv, level: int):
     """Hall-of-mirrors keying vs a persistent filter frame
     (ffmpeg_to_composite.cpp:954-999). Keys where
-    (Y - 16 - level) + (|U+V-256| - level) <= 0; chroma decision is made on
-    the *even* luma sample of each 4:2:2 pair. Returns (out planes, new
-    filter planes)."""
-    d_luma = y - (16 + level)
-    uu = jnp.repeat(u, 2, axis=-1)
-    vv = jnp.repeat(v, 2, axis=-1)
-    d_chroma = jnp.abs(uu + vv - 256) - level
-    keyed = (d_luma + d_chroma) <= 0
-    out_y = jnp.where(keyed, fy, y)
-    keyed_even = keyed[..., 0::2]
+    (Y - 16 - level) + (|U+V-256| - level) <= 0. The even sample of each
+    4:2:2 pair is keyed against the pair's original chroma and, when keyed,
+    REPLACES that chroma with the filter frame's (black_key wchroma=true,
+    :959-964); the odd sample's decision then reads the possibly-replaced
+    chroma (the in-place sequential order at :989-990). Returns
+    (out planes, new filter planes)."""
+    y_even = y[..., 0::2]
+    y_odd = y[..., 1::2]
+    keyed_even = ((y_even - (16 + level))
+                  + (jnp.abs(u + v - 256) - level)) <= 0
     out_u = jnp.where(keyed_even, fu, u)
     out_v = jnp.where(keyed_even, fv, v)
+    keyed_odd = ((y_odd - (16 + level))
+                 + (jnp.abs(out_u + out_v - 256) - level)) <= 0
+    out_even = jnp.where(keyed_even, fy[..., 0::2], y_even)
+    out_odd = jnp.where(keyed_odd, fy[..., 1::2], y_odd)
+    out_y = jnp.stack([out_even, out_odd], axis=-1).reshape(y.shape)
     return (out_y, out_u, out_v), (out_y, out_u, out_v)

@@ -411,9 +411,14 @@ def head_switching(y, parity, point, phase, noise, ntsc=True, fill=16):
     height = l * 2
     twidth = w + w // 10
     t = twidth * (262.5 if ntsc else 312.5)
-    p = int(math.fmod(point + noise, 1.0) * t)
+    # C: p = (unsigned int)(fmod(v, 1.0) * t). fmod is sign-preserving and
+    # the cast truncates then wraps mod 2^32 — a negative phase/point (large
+    # -hs-noise draws, or a negative flag value) wraps to a huge p, putting
+    # the switch line far below the raster (no bar) and x at the wrapped
+    # residue, NOT at the positive mod.
+    p = int(math.fmod(point + noise, 1.0) * t) & 0xFFFFFFFF
     yy = (p // twidth) * 2 + parity
-    p = int(math.fmod(phase + noise, 1.0) * t)
+    p = int(math.fmod(phase + noise, 1.0) * t) & 0xFFFFFFFF
     x = p % twidth
     yy -= ((262 - 240) * 2) if ntsc else ((312 - 288) * 2)
     ishif = x - twidth if x >= (twidth // 2) else x

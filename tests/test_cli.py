@@ -490,6 +490,28 @@ def test_output_gop_invariant_with_noise(tmp_path):
         np.testing.assert_array_equal(f3[2], f8[2])
 
 
+def test_colorkey_noise_streaks_span_xdivr_groups():
+    """A noisekey punch-through overrides the HELD decision variable, so it
+    persists to the end of its xdivr group (ffmpeg_colorkey.cpp:852-864):
+    within every group, the keyed mask is a suffix — and multi-pixel
+    streaks exist (the 'older equipment' look), not just 1-pixel specks."""
+    import jax
+    from cvsim_tpu.models.tools import colorkey_apply
+
+    h, w, xd = 16, 64, 4
+    src = np.full((h, w, 3), 200, np.int32)
+    dst = np.zeros((h, w, 3), np.int32)
+    out = np.asarray(colorkey_apply(
+        dst, src, jax.random.PRNGKey(5), color=(200, 200, 200),
+        threshhold=100, noisekey=3000, xdivr=xd))
+    keyed = (out[..., 0] == 200).reshape(h, w // xd, xd)
+    assert keyed.any() and not keyed.all()
+    # suffix property: keyed never turns off within a group
+    assert not (np.diff(keyed.astype(int), axis=-1) < 0).any()
+    # and some hit propagated (streak longer than a single pixel)
+    assert (keyed.sum(axis=-1) >= 2).any()
+
+
 def test_colorkey_multi_input_layering(tmp_path):
     """Two layers with per-input key settings: later -i settings apply only
     to that input (reference InputFile semantics)."""

@@ -181,3 +181,21 @@ def test_mark_sync_paints_pulses():
     assert f is not None
     # hsync region (leftmost columns of each line) rendered near white
     assert (f[:, :20] > 200).mean() > 0.5
+
+
+def test_chroma_shift_head_keeps_preshift_values():
+    """The renormalizing backward shift (ffmpeg_raw28ntsc.cpp:749-751)
+    writes x+16 only: columns 0..15 keep the pre-shift denoised UNDIVIDED
+    chroma — so chroma[k] ~ 4*chroma[k+16] at the head, and the head is not
+    zero-filled."""
+    from cvsim_tpu.models.raw28 import decode_lines
+
+    rng = np.random.default_rng(7)
+    x = np.arange(RL + 16)
+    carrier = (60 * np.sin(2 * np.pi * x / 8)).astype(np.int32) + 128
+    line = np.clip(carrier + rng.integers(-3, 4, RL + 16), 0, 255)
+    _, chroma = decode_lines(line[None, :], 0.0, 255.0, raw_len=RL,
+                             equalize=False, full_chroma=True)
+    ch = np.asarray(chroma)[0]
+    assert np.abs(ch[:16]).max() > 0
+    np.testing.assert_array_less(np.abs(ch[:16] - 4 * ch[16:32]), 4)

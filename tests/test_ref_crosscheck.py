@@ -119,6 +119,14 @@ GEN2_CASES = [
     ("head_switching", 0, 6,
      {"hs": True, "hs_point": 0.15, "hs_phase": 0.17,
       "hs_phase_noise": 0.0}),
+    # negative phase: C fmod is sign-preserving and the (unsigned int) cast
+    # wraps — the bar lands at the wrapped residue, not the positive mod
+    ("head_switching_negative_phase", 0, 6,
+     {"hs": True, "hs_point": 0.15, "hs_phase": -0.005,
+      "hs_phase_noise": 0.0}),
+    ("head_switching_negative_point", 1, 3,
+     {"hs": True, "hs_point": -0.01, "hs_phase": 0.17,
+      "hs_phase_noise": 0.0}),
     ("amps", 0, 2, {"amp": 40, "amp_back": 60}),
 ]
 
@@ -240,12 +248,50 @@ def test_gen1_row_end_quirk():
         assert du[:, 1].min() >= W // 2 - 8
 
 
+def test_gen1_black_key_pair_chroma_order():
+    """The odd sample of a pair must be keyed against the chroma AFTER the
+    even sample's keying replaced it (black_key wchroma order, :989-990) —
+    crafted so the decisions differ: even keyed (Y=16, U=V=128), filter
+    chroma far from neutral, odd Y=35 near threshold."""
+    from cvsim_tpu.models import yuv422
+    import jax.numpy as jnp
+
+    h, w = 2, 8
+    y = np.full((h, w), 200, np.uint8); y[0, 0] = 16; y[0, 1] = 35
+    u = np.full((h, w // 2), 128, np.uint8)
+    v = np.full((h, w // 2), 128, np.uint8)
+    fy = np.full((h, w), 99, np.uint8)
+    fu = np.full((h, w // 2), 20, np.uint8)
+    fv = np.full((h, w // 2), 20, np.uint8)
+    level = 12
+    got = ref_extract.run_gen1_blackkey(y, u, v, fy, fu, fv, 0, 0, level)
+    (oy, ou, ov), _ = yuv422.black_key_feedback(
+        jnp.asarray(y[0::2], jnp.int32), jnp.asarray(u[0::2], jnp.int32),
+        jnp.asarray(v[0::2], jnp.int32), jnp.asarray(fy[0::2], jnp.int32),
+        jnp.asarray(fu[0::2], jnp.int32), jnp.asarray(fv[0::2], jnp.int32),
+        level)
+    assert np.asarray(oy)[0, 0] == 99     # even keyed
+    assert np.asarray(oy)[0, 1] == 35     # odd NOT keyed (sees filter chroma)
+    np.testing.assert_array_equal(got[0][0::2], np.asarray(oy, np.uint8))
+    np.testing.assert_array_equal(got[1][0::2], np.asarray(ou, np.uint8))
+    np.testing.assert_array_equal(got[2][0::2], np.asarray(ov, np.uint8))
+
+
 def test_gen1_black_key_feedback_matches_oracle():
     from cvsim_tpu.models import yuv422
     import jax.numpy as jnp
 
     rng = np.random.default_rng(3)
     y, u, v = _rand_yuv(3, pin16=False)
+    # bias a band toward the key threshold so pair-order effects fire:
+    # dark luma + neutral chroma keys the even sample, and odd samples sit
+    # near the boundary where the replaced filter chroma flips the decision
+    y[:, : y.shape[1] // 2] = rng.integers(16, 48, (y.shape[0],
+                                                    y.shape[1] // 2))
+    u[:, : u.shape[1] // 2] = rng.integers(120, 137, (u.shape[0],
+                                                      u.shape[1] // 2))
+    v[:, : v.shape[1] // 2] = rng.integers(120, 137, (v.shape[0],
+                                                      v.shape[1] // 2))
     fy = rng.integers(0, 256, size=y.shape).astype(np.uint8)
     fu = rng.integers(0, 256, size=u.shape).astype(np.uint8)
     fv = rng.integers(0, 256, size=v.shape).astype(np.uint8)

@@ -72,6 +72,22 @@ def test_filmac_rescale_stretches():
     assert out.max() - out.min() > (rgb.max() - rgb.min())
 
 
+def test_filmac_measure_max_extends_past_maxx():
+    """The reference's block scan guards x+sx only against the frame width
+    (filmac.cpp:904), so the per-pixel max sees columns past maxx up to the
+    last block's end: a 720-wide frame (maxx=648, last block 620..747) must
+    include a highlight at column 700."""
+    rgb = np.full((16, 720, 3), 120, np.int64)
+    base_max = restore.filmac_measure(rgb)[1]
+    lit = rgb.copy()
+    lit[4, 700] = 255
+    assert restore.filmac_measure(lit)[1] == max(base_max, 255 << 16)
+    # but a highlight left of minx (col 50) stays invisible
+    lit2 = rgb.copy()
+    lit2[4, 50] = 255
+    assert restore.filmac_measure(lit2)[1] == base_max
+
+
 def test_vhsled_blackish_blue_quirk():
     """The reference compares every channel of p against the BLUE channel of
     the line's first pixel (the c >>= 8 typo). A row whose first pixel has a

@@ -150,6 +150,23 @@ def test_head_switching_deterministic():
     np.testing.assert_array_equal(np.asarray(got)[0], want)
 
 
+def test_head_switching_negative_phase_c_cast():
+    """Negative phase/point exercise the C (unsigned int) cast semantics:
+    fmod is sign-preserving and the cast wraps mod 2^32 (the switch line
+    lands far below the raster for negative point; x at the wrapped
+    residue for negative phase). Oracle pinned to the compiled reference
+    in tests/test_ref_crosscheck.py."""
+    for point, phase in ((0.15, -0.005), (-0.01, 0.17)):
+        _, y, _, _ = rand_yiq(29, l=32, w=64)
+        got = yiq.head_switching_stage(
+            to_dev(y), jnp.array([0], jnp.int32), jax.random.PRNGKey(0),
+            point=point, phase=phase, phase_noise=0.0, ntsc=True, fill=0,
+            dtype=jnp.float64)
+        want = ref.head_switching(y.copy(), 0, point, phase, 0.0,
+                                  ntsc=True, fill=0)
+        np.testing.assert_array_equal(np.asarray(got)[0], want)
+
+
 def test_head_switching_visible_bar():
     # Put the switch point inside the visible area so rotation actually
     # happens: for a 32-line field the visible rows cover raster lines
