@@ -91,7 +91,14 @@ def init_cassette_state(cfg: CassetteConfig, dtype=jnp.float32) -> CassetteState
 def _head_kernels(cfg: CassetteConfig, start_count, n, dtype):
     """Per-sample triangular kernels, [N, len, C]."""
     length = cfg.kernel_len
-    t = (start_count + jnp.arange(n, dtype=dtype)) / cfg.rate
+    # the 1.5 Hz waver's phase repeats every 2 seconds exactly (3 cycles);
+    # reduce the absolute sample index mod 2*rate in INTEGER math before
+    # the f32 divide — a raw f32 counter loses sample resolution past 2^24
+    # (~6 minutes at 44.1k) and the waver would staircase/freeze
+    period = 2 * cfg.rate
+    idx = (jnp.asarray(start_count, jnp.int32) % period
+           + jnp.arange(n, dtype=jnp.int32)) % period
+    t = idx.astype(dtype) / cfg.rate
     htf = cfg.head_tilt + cfg.head_tilt_waver * jnp.sin(t * (2.0 * jnp.pi) * 1.5)
     lr = htf * 1.5
     i = jnp.arange(length, dtype=dtype)
@@ -160,7 +167,7 @@ def cassette_audio_process(
     wins = jnp.stack(
         [jax.lax.dynamic_slice_in_dim(full, i, n, axis=0)
          for i in range(length)], axis=1)                # win[t, i] = s[t-(len-1-i)]
-    kern = _head_kernels(cfg, state.sample_count.astype(dtype), n, dtype)
+    kern = _head_kernels(cfg, state.sample_count, n, dtype)
     s = jnp.einsum("nlc,nlc->nc", wins, kern, preferred_element_type=dtype)
     history = full[-(length - 1):] if length > 1 else full[:0]
 

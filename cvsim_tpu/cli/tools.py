@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from cvsim_tpu.host import timing, wavio, y4m
 from cvsim_tpu.host.pipeline_yiq import _scale_frame_to
-from cvsim_tpu.host.colorconv import rgb_to_yuv601
+from cvsim_tpu.host.colorconv import rgb_to_yuv601_np
 from cvsim_tpu.models import tools as ops
 
 
@@ -124,11 +124,12 @@ def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
                 all(eof) and current >= max(next_at)):
             break
         frame = frames if multi else frames[0]
-        out_rgb = per_field(frame, current)
-        y, u, v = rgb_to_yuv601(out_rgb[..., 0], out_rgb[..., 1], out_rgb[..., 2])
-        y = np.asarray(y).astype(np.uint8)
-        u = np.asarray(u).astype(np.uint8)
-        v = np.asarray(v).astype(np.uint8)
+        out_rgb = np.asarray(per_field(frame, current))
+        y, u, v = rgb_to_yuv601_np(out_rgb[..., 0], out_rgb[..., 1],
+                                   out_rgb[..., 2])
+        y = y.astype(np.uint8)
+        u = u.astype(np.uint8)
+        v = v.astype(np.uint8)
         if args.use_422:
             writer.write(y, u[:, 0::2], v[:, 0::2])
         else:
@@ -528,10 +529,11 @@ def run_normalize_ts(argv):
 
 
 def _write_rgb(writer, rgb, use_422: bool):
-    y, u, v = rgb_to_yuv601(rgb[..., 0], rgb[..., 1], rgb[..., 2])
-    y = np.asarray(y).astype(np.uint8)
-    u = np.asarray(u).astype(np.uint8)
-    v = np.asarray(v).astype(np.uint8)
+    rgb = np.asarray(rgb)
+    y, u, v = rgb_to_yuv601_np(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    y = y.astype(np.uint8)
+    u = u.astype(np.uint8)
+    v = v.astype(np.uint8)
     if use_422:
         writer.write(y, u[:, 0::2], v[:, 0::2])
     else:

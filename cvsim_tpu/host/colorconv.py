@@ -56,3 +56,47 @@ def rgb_to_yuv601(r, g, b):
     v = (rf - yl) / 1.402 * (224.0 / 255.0) + 128.0
     clip = lambda x: jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
     return clip(y), clip(u), clip(v)
+
+
+# ---------------------------------------------------------------- numpy twins
+# Host-thread versions for the streaming pipelines: per-frame prep must not
+# issue eager device dispatches (a ~25 ms RPC floor per call on tunneled
+# hosts — the round-1 e2e mistake). Same formulas in numpy float32.
+
+def yuv_to_rgb601_np(y, u, v):
+    yf = (y.astype(np.float32) - 16.0) * np.float32(255.0 / 219.0)
+    uf = u.astype(np.float32) - 128.0
+    vf = v.astype(np.float32) - 128.0
+    r = yf + np.float32(1.402 * (255.0 / 224.0)) * vf
+    g = (yf - np.float32(0.344136 * (255.0 / 224.0)) * uf
+         - np.float32(0.714136 * (255.0 / 224.0)) * vf)
+    b = yf + np.float32(1.772 * (255.0 / 224.0)) * uf
+    clip = lambda x: np.clip(np.round(x), 0, 255).astype(np.int32)
+    return clip(r), clip(g), clip(b)
+
+
+def rgb_to_yuv601_np(r, g, b):
+    rf = r.astype(np.float32)
+    gf = g.astype(np.float32)
+    bf = b.astype(np.float32)
+    yl = (np.float32(0.299) * rf + np.float32(0.587) * gf
+          + np.float32(0.114) * bf)
+    y = yl * np.float32(219.0 / 255.0) + 16.0
+    u = (bf - yl) / np.float32(1.772) * np.float32(224.0 / 255.0) + 128.0
+    v = (rf - yl) / np.float32(1.402) * np.float32(224.0 / 255.0) + 128.0
+    clip = lambda x: np.clip(np.round(x), 0, 255).astype(np.int32)
+    return clip(y), clip(u), clip(v)
+
+
+def hscale_bilinear_np(plane, dst_w: int):
+    """numpy twin of hscale_bilinear (same constants, same f32 lerp+round)."""
+    from cvsim_tpu.host.batching import hscale_consts
+
+    consts = hscale_consts(plane.shape[-1], dst_w)
+    if consts is None:
+        return np.asarray(plane)
+    x0, x1, f = consts
+    p = np.asarray(plane).astype(np.float32)
+    s0 = p[..., x0]
+    s1 = p[..., x1]
+    return np.round(s0 + (s1 - s0) * f).astype(np.int32)

@@ -85,6 +85,12 @@ def render_field_indices(
         csyf = np.where(cover, 0, csyf)
         csy2 = csy + 1
 
+    if not is420:
+        # the reference's non-420 blend loop (:1109-1126) indexes ALL three
+        # planes with the LUMA rows — csy/csy2/csyf are computed but only
+        # consumed on the 420 path (:1102-1107). In particular interlaced
+        # 4:2:2 chroma steps by 2 (same field), not 1.
+        csy, csy2, csyf = sy, sy2, syf
     return sy, sy2, syf, csy, csy2, csyf
 
 

@@ -276,7 +276,10 @@ class CompositePipeline:
                    else self._field_rate)
         whdr = y4m.Y4MHeader(
             width=out.width, height=out.height, fps=out_fps,
-            interlacing=("t" if out.interlaced_output else "p"),
+            # bottom field first: field k's parity is (k & 1) ^ 1, and the
+            # reference sets top_field_first = 0 on interlaced output
+            # (output_frame emits at field=1)
+            interlacing=("b" if out.interlaced_output else "p"),
             aspect="4:3",
             colorspace="422" if out.use_422_colorspace else "420jpeg")
 
@@ -360,7 +363,6 @@ class CompositePipeline:
 
         def read_loop():
             video_field = resume_field
-            ticks_per_frame = 2
             base_idx = ckpt_base_idx if resume_field else None
                               # first accepted frame rebases the clock to
                               # zero (the reference's adj_time, :2264-2265)
@@ -526,7 +528,12 @@ class CompositePipeline:
                   if cfg.transcode_end >= 0 else len(samples))
             samples = samples[s0:s1]
         if not cfg.enable_audio_emulation:
-            wavio.write_wav(out_path, samples.astype(np.int16), acfg.rate)
+            # the sinc resampler's Gibbs overshoot can exceed full scale;
+            # clip (like the emulation path's clips16) instead of letting
+            # astype wrap to the opposite rail
+            wavio.write_wav(out_path,
+                            np.clip(samples, -32768, 32767).astype(np.int16),
+                            acfg.rate)
             return len(samples)
 
         state = init_audio_state(acfg, self.dtype)
@@ -635,6 +642,8 @@ def _resample_sinc(samples: np.ndarray, src_rate: int, dst_rate: int,
 def _remix(samples: np.ndarray, channels: int):
     if channels == 1:
         return np.round(samples.mean(axis=1)).astype(np.int64)[:, None]
-    if samples.shape[1] == 1:
-        return np.repeat(samples, channels, axis=1)
-    return samples[:, :channels]
+    if samples.shape[1] >= channels:
+        return samples[:, :channels]
+    # upmix by cycling source channels (stereo -> quad duplicates pairs)
+    idx = np.arange(channels) % samples.shape[1]
+    return samples[:, idx]

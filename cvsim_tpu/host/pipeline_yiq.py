@@ -25,26 +25,32 @@ import jax.numpy as jnp
 
 from cvsim_tpu.config import RunConfig
 from cvsim_tpu.host import timing, y4m
-from cvsim_tpu.host.colorconv import hscale_bilinear, rgb_to_yuv601, yuv_to_rgb601
+from cvsim_tpu.host.colorconv import (
+    hscale_bilinear_np,
+    rgb_to_yuv601_np,
+    yuv_to_rgb601_np,
+)
 from cvsim_tpu.models import yiq
 
 
 def _scale_frame_to(y, u, v, width: int, height: int):
     """Scale a Y4M frame (possibly 4:2:0) to a full-res RGB [H, W, 3] frame
-    (the frame_copy_scale role, ffmpeg_ntsc.cpp:544-607)."""
+    (the frame_copy_scale role, ffmpeg_ntsc.cpp:544-607). Pure numpy: this
+    runs per decoded frame on the host thread, where every eager device
+    call costs a ~25 ms RPC on tunneled hosts (round-1 e2e mistake)."""
     # chroma up to luma resolution
     yh, yw = y.shape
     u = np.repeat(np.repeat(u, yh // u.shape[0], axis=0), yw // u.shape[1], axis=1)
     v = np.repeat(np.repeat(v, yh // v.shape[0], axis=0), yw // v.shape[1], axis=1)
-    r, g, b = yuv_to_rgb601(jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
-                            jnp.asarray(v, jnp.int32))
-    rgb = jnp.stack([r, g, b], axis=-1)
-    # horizontal
-    rgb = jnp.moveaxis(hscale_bilinear(jnp.moveaxis(rgb, -1, 0), width), 0, -1)
-    # vertical (reuse the horizontal scaler on the transposed frame)
-    rgbt = jnp.swapaxes(rgb, 0, 1)
-    rgbt = jnp.moveaxis(hscale_bilinear(jnp.moveaxis(rgbt, -1, 0), height), 0, -1)
-    return jnp.swapaxes(rgbt, 0, 1)  # [H, W, 3]
+    r, g, b = yuv_to_rgb601_np(np.asarray(y, np.int32),
+                               np.asarray(u, np.int32),
+                               np.asarray(v, np.int32))
+    rgb = np.stack([r, g, b], axis=-1)
+    # horizontal, then vertical via the transposed frame
+    rgb = np.moveaxis(hscale_bilinear_np(np.moveaxis(rgb, -1, 0), width), 0, -1)
+    rgbt = np.swapaxes(rgb, 0, 1)
+    rgbt = np.moveaxis(hscale_bilinear_np(np.moveaxis(rgbt, -1, 0), height), 0, -1)
+    return np.swapaxes(rgbt, 0, 1)  # [H, W, 3]
 
 
 class YIQPipeline:
@@ -99,14 +105,15 @@ class YIQPipeline:
     def _emit(self, rgb_field, fieldno, writer):
         out = self.cfg.output
         # bob the field to a full progressive frame, then RGB -> YUV
+        # (numpy: per-field host work, no eager device dispatches)
         h, w = out.height, out.width
         frame = np.repeat(rgb_field, 2, axis=0)[:h]
-        y, u, v = rgb_to_yuv601(jnp.asarray(frame[..., 0], jnp.int32),
-                                jnp.asarray(frame[..., 1], jnp.int32),
-                                jnp.asarray(frame[..., 2], jnp.int32))
-        y = np.asarray(y).astype(np.uint8)
-        u = np.asarray(u).astype(np.uint8)
-        v = np.asarray(v).astype(np.uint8)
+        y, u, v = rgb_to_yuv601_np(frame[..., 0].astype(np.int32),
+                                   frame[..., 1].astype(np.int32),
+                                   frame[..., 2].astype(np.int32))
+        y = y.astype(np.uint8)
+        u = u.astype(np.uint8)
+        v = v.astype(np.uint8)
         if out.use_422_colorspace:
             writer.write(y, u[:, 0::2], v[:, 0::2])
         else:

@@ -57,8 +57,15 @@ def audio_target_sample(pts_sample, current_sample: int, rate: int) -> int:
 
 def frame_pts_to_field(frame_index: int, fps: Fraction, field_rate: Fraction) -> int:
     """Rescale a frame timestamp into the running field counter (the
-    av_packet_rescale_ts to field timebase at :2300-2301)."""
-    return int(frame_index * field_rate / fps)
+    av_packet_rescale_ts to field timebase at :2300-2301). av_rescale's
+    default AV_ROUND_NEAR_INF rounds half away from zero — truncation
+    changes the pull-down cadence for rates that don't divide the field
+    rate (24/25/48 fps into 59.94)."""
+    q = Fraction(frame_index) * field_rate / fps
+    n, d = q.numerator, q.denominator
+    if n >= 0:
+        return (2 * n + d) // (2 * d)
+    return -((2 * -n + d) // (2 * d))
 
 
 @dataclasses.dataclass

@@ -32,7 +32,7 @@ BLOCK = 128
 ROW_TILE = 256
 
 
-def _pole_pass(x, T_t, d, pk, y0, nb):
+def _pole_pass(x, T_t, d, y0, nb):
     """One pole over a [rows, nb*128] VMEM-resident array."""
     outs = []
     carry = jnp.full((x.shape[0], 1), y0, x.dtype)
@@ -51,11 +51,11 @@ def _make_kernel(n_poles, y0s, mode, gain, nb):
         # all poles except a possible trailing emphasis pole
         n_lp = n_poles - (1 if mode == "emph" else 0)
         for i in range(n_lp):
-            s = _pole_pass(s, tt_ref[i], d_ref[i], None, y0s[i], nb)
+            s = _pole_pass(s, tt_ref[i], d_ref[i], y0s[i], nb)
         if mode == "emph":
             # s += highpass(s) * gain, highpass driven by the cascade output
             lp = _pole_pass(s, tt_ref[n_poles - 1], d_ref[n_poles - 1],
-                            None, y0s[-1], nb)
+                            y0s[-1], nb)
             s = s + (s - lp) * gain
         elif mode == "unsharp":
             # out = x + (x - cascade(x)) * gain: the cascade smooths, the

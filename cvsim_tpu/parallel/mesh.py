@@ -98,7 +98,7 @@ def run_sharded_chain_fused(mesh: Mesh, cfg, rgb, fieldno, field_parity,
     n = mesh.devices.size
     if rgb.shape[0] % n:
         raise ValueError(
-            f"field batch {rgb.shape[0]} must divide the mesh size {n}")
+            f"mesh size {n} must divide the field batch {rgb.shape[0]}")
     flat = P(("dp", "sp"))
     data_sh = NamedSharding(mesh, P(("dp", "sp"), None, None, None))
     meta_sh = NamedSharding(mesh, flat)

@@ -506,6 +506,12 @@ def render_field_scalar(y_src, u_src, v_src, dst_height, parity,
                 csyf = 0
             csy2 = csy + 1
 
+        if not is420:
+            # the reference's non-420 blend (:1109-1126) uses the LUMA
+            # indices for all three planes; csy/csy2/csyf feed only the
+            # 420 path (:1102-1107)
+            csy, csy2, csyf = sy, sy2, syf
+
         def interp(plane, i1, i2, f):
             s1 = plane[i1].astype(np.int64)
             if f == 0:

@@ -376,8 +376,9 @@ def test_to_composite_pal(tmp_path):
     hdr, frames = read_all(out)
     assert hdr.height == 576
     assert hdr.fps == Fraction(50, 1)
-    # 4 frames at 29.97fps -> floor(4/29.97*50)=6 PAL fields
-    assert len(frames) == 6
+    # 4 frames at 29.97fps -> round(4/29.97*50)=7 PAL fields
+    # (av_rescale AV_ROUND_NEAR_INF semantics; round(6.673)=7)
+    assert len(frames) == 7
 
 
 def test_to_composite_422_input_and_output(tmp_path):
