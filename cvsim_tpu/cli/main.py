@@ -277,6 +277,16 @@ COMMANDS = {
 }
 
 
+def _cmd_vaporwave(argv):
+    """text2vaporwave.pl: ASCII -> fullwidth unicode (args or stdin)."""
+    from cvsim_tpu.utils import vaporwave
+
+    return vaporwave.main(argv)
+
+
+COMMANDS["vaporwave"] = _cmd_vaporwave
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help", "help"):

@@ -41,3 +41,11 @@ def test_catv_preset_back_compensation():
 def test_hiss_level_derivation():
     assert AudioConfig(hiss_db=-72.0).hiss_level == int(10 ** (-72 / 20) * 5000)
     assert AudioConfig(hiss_db=-1000.0).hiss_level == 0
+
+
+def test_vaporwave_cli_subcommand(capsys):
+    from cvsim_tpu.cli.main import main
+
+    assert main(["vaporwave", "hello world"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out == "\uff48\uff45\uff4c\uff4c\uff4f\u3000\uff57\uff4f\uff52\uff4c\uff44"
