@@ -97,7 +97,8 @@ def _soft_sigint():
 def cmd_to_composite(argv):
     """Flagship gen-1 tool (ffmpeg_to_composite)."""
     st = presets.parse_composite_flags(argv, gen2=False)
-    if not st.input_files and not st.audio_in:
+    if ((not st.input_files and not st.audio_in)
+            or (st.input_files and not st.output_file)):
         print("You must specify an input and output file (-i and -o).",
               file=sys.stderr)
         return 1
@@ -116,16 +117,18 @@ def cmd_ntsc(argv):
     die = _soft_sigint()
     cfg = st.to_run_config(gen1=False)
     pipe = YIQPipeline(cfg, frame_delay=st.frame_delay, die=die)
-    readers = []
-    files = []
-    for path in st.input_files:
-        f = open(path, "rb")
-        files.append(f)
-        readers.append(y4m.Y4MReader(f))
-    with open(st.output_file, "wb") as out:
-        fields = pipe.run_video(readers, out)
-    for f in files:
-        f.close()
+    fields = 0
+    if st.input_files and st.output_file:
+        readers = []
+        files = []
+        for path in st.input_files:
+            f = open(path, "rb")
+            files.append(f)
+            readers.append(y4m.Y4MReader(f))
+        with open(st.output_file, "wb") as out:
+            fields = pipe.run_video(readers, out)
+        for f in files:
+            f.close()
     if st.audio_in and st.audio_out:
         pipe_a = _audio_pipe(cfg)
         pipe_a.run_audio(st.audio_in, st.audio_out)
@@ -151,7 +154,7 @@ def _run_common(st, gen1: bool):
           file=sys.stderr)
     from cvsim_tpu.host import ffmpeg_pipe
 
-    pipe = CompositePipeline(cfg)
+    pipe = CompositePipeline(cfg, die=die)
     fields = 0
     # -checkpoint: resumable runs (original extension; see host/checkpoint.py).
     # Only the native Y4M output path can be truncated-and-appended; encoder

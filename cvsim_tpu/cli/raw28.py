@@ -64,8 +64,10 @@ def run(argv):
     height = 240  # one field of 262-line raster renders 240 visible lines
     dec = Raw28Decoder(rate_preset(srate), width=width, height=height, **kw)
 
+    # one output frame per decoded field -> 59.94 fps progressive
+    # (output_field_rate {60000,1001}, ffmpeg_raw28ntsc.cpp:219)
     hdr = y4m.Y4MHeader(width=width, height=height * 2,
-                        fps=Fraction(30000, 1001), interlacing="p",
+                        fps=Fraction(60000, 1001), interlacing="p",
                         colorspace="422" if use_422 else "420jpeg")
     fout = open(output, "wb")
     writer = y4m.Y4MWriter(fout, hdr)

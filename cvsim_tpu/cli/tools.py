@@ -52,7 +52,7 @@ class _ToolArgs:
                 self.width = int(argv[i]); i += 1
             elif a == "d":
                 self.delay = int(argv[i]); i += 1
-                if self.delay == 0 or self.delay > 256:
+                if self.delay < 1 or self.delay > 256:
                     raise ValueError("Invalid delay")
             elif a == "422":
                 self.use_422 = True
@@ -64,6 +64,12 @@ class _ToolArgs:
                     self.height, self.field_rate = 576, Fraction(50, 1)
                 elif v == "ntsc":
                     self.height, self.field_rate = 480, Fraction(60000, 1001)
+                elif v == "720p60":   # preset_720p60, ffmpeg_scanimate.cpp:619
+                    self.width, self.height = 1280, 720
+                    self.field_rate = Fraction(60000, 1001)
+                elif v == "1080p60":  # preset_1080p60, :628
+                    self.width, self.height = 1920, 1080
+                    self.field_rate = Fraction(60000, 1001)
                 else:
                     raise ValueError(f"Unknown tv std '{v}'")
             elif a in extra:
@@ -143,12 +149,24 @@ def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
     return 0
 
 
+
+
+def _last_frame(frames):
+    """Reference multi-input semantics for the full-frame tools: every
+    input's composite_layer overwrites the output, so the last input with a
+    current frame wins (ffmpeg_posterize.cpp:1035-1061 loop shape)."""
+    for f in reversed(frames):
+        if f is not None:
+            return f
+    return frames[0]
+
 def run_posterize(argv):
     """ffmpeg_posterize flags (:630-660): -threshhold <n> bit truncation."""
     args = _ToolArgs(argv, extra={"threshhold": (int, "threshhold")})
-    thr = args.extra.get("threshhold", 0)
+    thr = args.extra.get("threshhold", 3)   # InputFile default (ffmpeg_posterize.cpp:71)
     fn = jax.jit(lambda f: ops.posterize(f, thr))
-    return _frame_loop(args, lambda frame, fieldno: np.asarray(fn(frame)))
+    return _frame_loop(args, lambda frames, fieldno: np.asarray(
+        fn(_last_frame(frames))), multi=True)
 
 
 def run_colormap(argv):
@@ -167,7 +185,8 @@ def run_colormap(argv):
     lut = ops.take_colormap(map_rgb)
     args.inputs = args.inputs[1:]
     fn = jax.jit(lambda f: ops.colormap_apply(f, jnp.asarray(lut)))
-    return _frame_loop(args, lambda frame, fieldno: np.asarray(fn(frame)))
+    return _frame_loop(args, lambda frames, fieldno: np.asarray(
+        fn(_last_frame(frames))), multi=True)
 
 
 def run_colorkey(argv):
@@ -179,7 +198,7 @@ def run_colorkey(argv):
     args = _ToolArgs(argv, extra={
         "color": (lambda v: int(v, 0), "color"),
         "threshhold": (int, "threshhold"),
-        "inv": ("flag", "invert"),
+        "inv": (lambda v: int(v, 0) > 0, "invert"),
         "noise": (int, "noisekey"),
         "f": (int, "fade"),
         "xd": (int, "xdivr"),
@@ -251,12 +270,20 @@ def run_scanimate(argv):
                             input_ntsc=input_ntsc)),
         static_argnums=(1,))
 
-    def per_field(frame, fieldno):
-        parity = (fieldno & 1) ^ 1
-        return np.asarray(fn(frame, parity if input_ntsc else 0,
-                             jnp.int32(fieldno)))
+    prev = {"frame": None}
 
-    return _frame_loop(args, per_field)
+    def per_field(frames, fieldno):
+        parity = (fieldno & 1) ^ 1
+        out = np.array(fn(_last_frame(frames),
+                          parity if input_ntsc else 0, jnp.int32(fieldno)))
+        if parity == 1 and prev["frame"] is not None:
+            # the copy-to-screen loop starts at y=field (:965): on odd
+            # fields output row 0 keeps the persistent canvas's content
+            out[0] = prev["frame"][0]
+        prev["frame"] = out
+        return out
+
+    return _frame_loop(args, per_field, multi=True)
 
 
 def run_cassette(argv):

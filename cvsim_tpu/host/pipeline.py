@@ -83,9 +83,10 @@ class CompositePipeline:
     """Gen-1 flagship pipeline (ffmpeg_to_composite equivalent)."""
 
     def __init__(self, cfg: RunConfig, gop: int = 64, dtype=jnp.float32,
-                 progress: bool = True):
+                 progress: bool = True, die=None):
         self.cfg = cfg
         self.gop = gop
+        self.die = die or {"die": 0}
         self.dtype = dtype
         self.progress = progress
         self.key = jax.random.PRNGKey(cfg.seed)
@@ -368,6 +369,10 @@ class CompositePipeline:
                               # zero (the reference's adj_time, :2264-2265)
             try:
                 for local_idx, (ysrc, usrc, vsrc) in enumerate(reader):
+                    if self.die["die"]:
+                        # soft stop: finish queued batches, write the
+                        # trailer (reference soft-SIGINT, :62-66,2120-2124)
+                        break
                     frame_idx = local_idx + skip_n
                     t = float(frame_idx / fps)
                     if cfg.transcode_end >= 0 and t >= cfg.transcode_end:

@@ -537,3 +537,25 @@ def test_average_delay_multi_input(tmp_path):
     assert rc == 0
     _, frames = read_all(out)
     assert len(frames) == 8
+
+
+def test_cli_validation_and_defaults(tmp_path):
+    """Round-2 CLI parity fixes: -i without -o errors (reference :1633);
+    posterize without -threshhold defaults to 3 (not an all-black mask);
+    audio-only ntsc works without -o."""
+    src = make_clip(str(tmp_path / "in.y4m"))
+    assert main(["to-composite", "-i", src]) == 1
+
+    out = str(tmp_path / "p.y4m")
+    assert main(["posterize", "-i", src, "-o", out, "-width", str(W)]) == 0
+    _, frames = read_all(out)
+    assert frames[0][0].max() > 0          # default threshhold 3, not 0
+
+    t = np.arange(3000)
+    sine = (9000 * np.sin(2 * np.pi * 440 * t / 44100)).astype(np.int16)
+    ain = str(tmp_path / "a.wav")
+    wavio.write_wav(ain, np.stack([sine, sine], -1), 44100)
+    aout = str(tmp_path / "ao.wav")
+    assert main(["ntsc", "-audio-in", ain, "-audio-out", aout]) == 0
+    got, _ = wavio.read_wav(aout)
+    assert len(got) == 3000
