@@ -93,6 +93,32 @@ def test_render_field_interlaced_vs_golden():
                 np.testing.assert_array_equal(np.asarray(gu), wu)
 
 
+def test_render_field_interlaced_422_vs_golden():
+    """Interlaced 4:2:2 source: all planes use the LUMA row indices (chroma
+    steps by 2 within the field, reference non-420 path :1109-1126) — both
+    impl and oracle pinned to the same-field semantics."""
+    rng = np.random.default_rng(5)
+    ys = rng.integers(0, 256, (480, 64)).astype(np.int64)
+    us = rng.integers(0, 256, (480, 32)).astype(np.int64)
+    vs = rng.integers(0, 256, (480, 32)).astype(np.int64)
+    for parity in (0, 1):
+        for tff in (True, False):
+            gy, gu, gv = fieldops.render_field(
+                ys, us, vs, 480, parity, src_interlaced=True,
+                src_top_field_first=tff, pts_delta=0, ticks_per_frame=2)
+            wy, wu, wv = ref.render_field_scalar(
+                ys, us, vs, 480, parity, interlaced=True, tff=tff,
+                pts_delta=0, ticks_per_frame=2)
+            np.testing.assert_array_equal(np.asarray(gy), wy)
+            np.testing.assert_array_equal(np.asarray(gu), wu)
+            np.testing.assert_array_equal(np.asarray(gv), wv)
+    # the chroma index tables literally ARE the luma tables for non-420
+    sy, sy2, syf, csy, csy2, csyf = fieldops.render_field_indices(
+        480, 480, 480, 0, src_interlaced=True)
+    np.testing.assert_array_equal(csy, sy)
+    np.testing.assert_array_equal(csy2, sy2)
+
+
 def test_timestamp_normalizer():
     tn = timing.TimestampNormalizer()
     assert tn.feed(10.0) == 0.0          # first packet rebases to 0
