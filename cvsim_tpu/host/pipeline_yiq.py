@@ -70,6 +70,9 @@ class YIQPipeline:
 
         @jax.jit
         def process_batch(rgb_fields, fieldno, parity, key):
+            # wire format is uint8 (1/4 the H2D bytes of int32 on the
+            # link-bound e2e path); widen on device
+            rgb_fields = rgb_fields.astype(jnp.int32)
             if cfg.enable_composite_emulation:
                 return yiq.composite_layer_rgb_auto(
                     rgb_fields, fieldno, parity, key, cfg=ccfg, dtype=dtype)
@@ -82,7 +85,8 @@ class YIQPipeline:
         if batch:
             # pad short (final) batches to one stable compile shape
             padded = batch + [batch[-1]] * (self.gop - len(batch))
-            rgbs = jnp.stack([b[0] for b in padded])
+            rgbs = jnp.asarray(
+                np.stack([b[0] for b in padded]).astype(np.uint8))
             fieldnos = jnp.asarray([b[1] for b in padded], jnp.int32)
             parities = jnp.asarray([b[2] for b in padded], jnp.int32)
             # content-addressed noise: base key passes straight through
