@@ -31,7 +31,7 @@ def with_ffmpeg_stub(tmp_path, monkeypatch):
     sh.write_text(f"#!/bin/sh\nexec {sys.executable} {STUB} \"$@\"\n")
     sh.chmod(sh.stat().st_mode | stat.S_IEXEC)
     monkeypatch.setenv("PATH", f"{sh.parent}{os.pathsep}{os.environ['PATH']}")
-    ffmpeg_pipe.have_ffmpeg.__dict__.clear()   # no cache today; future-proof
+    getattr(ffmpeg_pipe.have_ffmpeg, 'cache_clear', lambda: None)()
     return sh
 
 

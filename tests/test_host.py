@@ -91,6 +91,7 @@ def test_render_field_interlaced_vs_golden():
                     pts_delta=pts_delta, ticks_per_frame=2)
                 np.testing.assert_array_equal(np.asarray(gy), wy)
                 np.testing.assert_array_equal(np.asarray(gu), wu)
+                np.testing.assert_array_equal(np.asarray(gv), wv)
 
 
 def test_render_field_interlaced_422_vs_golden():
@@ -128,7 +129,6 @@ def test_timestamp_normalizer():
     assert abs(t - 0.033) < 1e-9          # clock holds
     # forward jump > 5s
     t2 = tn.feed(100.0)
-    assert abs(t2 - 0.5 - tn.adj_time - (100.0 - 100.0)) < 1e9  # sanity
     assert abs(t2 - t) < 1e-9             # clamped to previous
 
 

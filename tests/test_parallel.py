@@ -82,8 +82,10 @@ def test_make_mesh_fails_loud_on_too_few_devices():
 
 
 def test_graft_entry():
+    import os
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0,
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
@@ -97,8 +99,10 @@ def test_graft_entry():
 def test_graft_entry_dryrun_subprocess():
     """The driver-facing entry point: must succeed from an arbitrary parent
     process without touching a TPU client."""
+    import os
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0,
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)

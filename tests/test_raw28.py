@@ -62,17 +62,17 @@ def test_tracker_native_matches_python():
 
     sig = synth_capture(1)[: RL * 40]
     t1 = HsyncDcTracker(RATE, T.one_scanline_time, T.one_frame_time)
-    has_native = t1._native is not None
+    if t1._native is None:
+        pytest.skip("native tracker unavailable in this environment")
     r1, d1 = t1.process(sig)
 
     t2 = HsyncDcTracker(RATE, T.one_scanline_time, T.one_frame_time)
     t2._native = None
     t2._init_python()
     r2, d2 = t2.process(sig[: RL * 4])  # python path is slow; small slice
-    if has_native:
-        np.testing.assert_array_equal(r1[: RL * 4], r2)
-        diff = np.abs(d1[: RL * 4].astype(int) - d2.astype(int))
-        assert diff.max() <= 1
+    np.testing.assert_array_equal(r1[: RL * 4], r2)
+    diff = np.abs(d1[: RL * 4].astype(int) - d2.astype(int))
+    assert diff.max() <= 1
 
 
 def test_decoder_locks_and_recovers_ramp():

@@ -20,6 +20,8 @@ divergence explicitly on unconstrained input.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -116,16 +118,16 @@ GEN2_CASES = [
     ("vhs_ep_svideo_novblend", 1, 4,
      {"vhs": True, "speed": 2, "svideo": True, "vblend": False,
       "sharpen": 2.0, "out_lowpass_lite": False}),
+    # the bar is on-raster for this 24-line frame only for
+    # point in ~[0.0838, 0.1295): y = 2*(p/twidth) + field - 44 < 24
     ("head_switching", 0, 6,
-     {"hs": True, "hs_point": 0.15, "hs_phase": 0.17,
+     {"hs": True, "hs_point": 0.1, "hs_phase": 0.17,
       "hs_phase_noise": 0.0}),
-    # negative phase: C fmod is sign-preserving and the (unsigned int) cast
-    # wraps — the bar lands at the wrapped residue, not the positive mod
+    # negative phase with a VISIBLE bar: C fmod is sign-preserving and the
+    # (unsigned int) cast wraps — x comes from the wrapped residue; a
+    # positive-mod bug would shift the bar by a different amount
     ("head_switching_negative_phase", 0, 6,
-     {"hs": True, "hs_point": 0.15, "hs_phase": -0.005,
-      "hs_phase_noise": 0.0}),
-    ("head_switching_negative_point", 1, 3,
-     {"hs": True, "hs_point": -0.01, "hs_phase": 0.17,
+     {"hs": True, "hs_point": 0.1, "hs_phase": -0.005,
       "hs_phase_noise": 0.0}),
     ("amps", 0, 2, {"amp": 40, "amp_back": 60}),
 ]
@@ -134,7 +136,7 @@ GEN2_CASES = [
 @pytest.mark.parametrize("name,field,fieldno,cfg",
                          GEN2_CASES, ids=[c[0] for c in GEN2_CASES])
 def test_gen2_composite_layer_matches_oracle(name, field, fieldno, cfg):
-    rgb = _rand_rgb(hash(name) & 0xFFFF)
+    rgb = _rand_rgb(zlib.crc32(name.encode()) & 0xFFFF)
     got = ref_extract.run_gen2(rgb, field, fieldno, **cfg)
     want = _oracle_gen2(rgb, field, fieldno, cfg)
     np.testing.assert_array_equal(got[field::2], want[field::2], err_msg=name)
@@ -209,8 +211,9 @@ GEN1_CASES = [
     ("vhs_sp", 0, 2, {"vhs": True, "speed": 0}),
     ("vhs_ep_svideo", 1, 6,
      {"vhs": True, "speed": 2, "svideo": True, "vblend": False}),
+    # on-raster for H=24 only for phase in ~[0.0838, 0.1295) (see GEN2)
     ("head_switching", 0, 4,
-     {"hs": True, "hs_phase": 0.2, "hs_phase_noise": 0.0}),
+     {"hs": True, "hs_phase": 0.1, "hs_phase_noise": 0.0}),
     ("yc_recombine_outlite", 0, 1,
      {"yc_recombine": 2, "out_lowpass": False, "out_lowpass_lite": True}),
 ]
@@ -220,7 +223,7 @@ GEN1_CASES = [
                          GEN1_CASES, ids=[c[0] for c in GEN1_CASES])
 def test_gen1_composite_video_process_matches_oracle(name, field, fieldno,
                                                      cfg):
-    y, u, v = _rand_yuv(hash(name) & 0xFFFF)
+    y, u, v = _rand_yuv(zlib.crc32(name.encode()) & 0xFFFF)
     run_cfg = dict(cfg)
     run_cfg.setdefault("hs_phase_noise", 0.0)   # keep rand() out of the loop
     gy, gu, gv = ref_extract.run_gen1(y, u, v, field, fieldno, **run_cfg)
@@ -308,3 +311,16 @@ def test_gen1_black_key_feedback_matches_oracle():
     np.testing.assert_array_equal(got[3][0::2], np.asarray(nfy, np.uint8))
     np.testing.assert_array_equal(got[4][0::2], np.asarray(nfu, np.uint8))
     np.testing.assert_array_equal(got[5][0::2], np.asarray(nfv, np.uint8))
+
+
+def test_gen2_head_switch_negative_point_tall_raster():
+    """hs_point=-0.01 must produce NO bar (the unsigned-cast wrap puts the
+    switch line off-raster). A positive-mod reading would land the bar near
+    row 475 of a 480-line frame, so the tall raster makes the distinction
+    observable — pinned against the compiled reference."""
+    rgb = _rand_rgb(101, h=480, w=W)
+    cfg = {"hs": True, "hs_point": -0.01, "hs_phase": 0.17,
+           "hs_phase_noise": 0.0}
+    got = ref_extract.run_gen2(rgb, 0, 3, **cfg)
+    want = _oracle_gen2(rgb, 0, 3, cfg)
+    np.testing.assert_array_equal(got[0::2], want[0::2])

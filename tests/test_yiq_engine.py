@@ -87,6 +87,7 @@ def test_chroma_into_luma_exact():
             y.copy(), i.copy(), q.copy(), fieldno, parity, 50, shift, off)
         np.testing.assert_array_equal(np.asarray(gy)[0], wy)
         np.testing.assert_array_equal(np.asarray(gi)[0], wi)
+        np.testing.assert_array_equal(np.asarray(gq)[0], wq)
 
 
 def test_chroma_from_luma_exact():

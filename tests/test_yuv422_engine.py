@@ -56,6 +56,7 @@ def test_yuv_to_ntsc_exact():
                                      parity, 50, shift, 0)
         np.testing.assert_array_equal(np.asarray(gy)[0], wy)
         np.testing.assert_array_equal(np.asarray(gu)[0], wu)
+        np.testing.assert_array_equal(np.asarray(gv)[0], wv)
 
 
 def test_ntsc_to_yuv_exact():
