@@ -18,6 +18,8 @@ from cvsim_tpu.host import timing, wavio, y4m
 from cvsim_tpu.host.pipeline_yiq import _scale_frame_to
 from cvsim_tpu.host.colorconv import rgb_to_yuv601_np
 from cvsim_tpu.models import tools as ops
+from cvsim_tpu.models import tools_np
+from cvsim_tpu.ops import noise_np
 
 
 class _ToolArgs:
@@ -151,6 +153,72 @@ def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
 
 
 
+def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
+                        multi: bool = False):
+    """Like _frame_loop, but fields are collected into batches of up to
+    `batch` and handed to per_batch(frames [n,H,W,3] np, fieldnos [n]) ->
+    list of RGB output frames. One device dispatch per batch instead of per
+    field — the gen-1 GOP treatment for the compute-heavy sibling tools
+    (VERDICT r2 #2)."""
+    paths = args.inputs if multi else args.inputs[:1]
+    fins = [open(p, "rb") for p in paths]
+    readers = [y4m.Y4MReader(f) for f in fins]
+    fpss = [r.header.fps for r in readers]
+    out_hdr = y4m.Y4MHeader(
+        width=args.width, height=args.height, fps=args.field_rate,
+        interlacing="p", aspect="4:3",
+        colorspace="422" if args.use_422 else "420jpeg")
+    fout = open(args.output, "wb")
+    writer = y4m.Y4MWriter(fout, out_hdr)
+
+    def flush(buf_frames, buf_fields):
+        outs = per_batch(np.stack(buf_frames), buf_fields)
+        for out_rgb, fieldno in zip(outs, buf_fields):
+            _write_rgb(writer, out_rgb, args.use_422)
+            print(f"\x0dOutput field {fieldno} ", end="", file=sys.stderr)
+
+    n = len(readers)
+    current = 0
+    frame_idx = [0] * n
+    frames = [None] * n
+    next_at = [0] * n
+    its = [iter(r) for r in readers]
+    eof = [False] * n
+    buf_frames, buf_fields = [], []
+    while True:
+        for k in range(n):
+            while not eof[k] and next_at[k] <= current:
+                try:
+                    yf, uf, vf = next(its[k])
+                except StopIteration:
+                    eof[k] = True
+                    break
+                if uf is None:
+                    uf = np.full_like(yf, 128)
+                    vf = uf
+                frames[k] = _scale_frame_to(yf, uf, vf, args.width,
+                                            args.height)
+                frame_idx[k] += 1
+                next_at[k] = timing.frame_pts_to_field(
+                    frame_idx[k], fpss[k], args.field_rate)
+        if any(f is None for f in frames) or (
+                all(eof) and current >= max(next_at)):
+            break
+        buf_frames.append(_last_frame(frames))
+        buf_fields.append(current)
+        if len(buf_frames) >= batch:
+            flush(buf_frames, buf_fields)
+            buf_frames, buf_fields = [], []
+        current += 1
+    if buf_frames:
+        flush(buf_frames, buf_fields)
+    print("", file=sys.stderr)
+    for f in fins:
+        f.close()
+    fout.close()
+    return 0
+
+
 def _last_frame(frames):
     """Reference multi-input semantics for the full-frame tools: every
     input's composite_layer overwrites the output, so the last input with a
@@ -161,12 +229,14 @@ def _last_frame(frames):
     return frames[0]
 
 def run_posterize(argv):
-    """ffmpeg_posterize flags (:630-660): -threshhold <n> bit truncation."""
+    """ffmpeg_posterize flags (:630-660): -threshhold <n> bit truncation.
+
+    Host-numpy hot path (tools_np): an AND mask has no TPU win and the
+    per-field device round-trip was the whole tool's cost (VERDICT r2)."""
     args = _ToolArgs(argv, extra={"threshhold": (int, "threshhold")})
     thr = args.extra.get("threshhold", 3)   # InputFile default (ffmpeg_posterize.cpp:71)
-    fn = jax.jit(lambda f: ops.posterize(f, thr))
-    return _frame_loop(args, lambda frames, fieldno: np.asarray(
-        fn(_last_frame(frames))), multi=True)
+    return _frame_loop(args, lambda frames, fieldno: tools_np.posterize(
+        _last_frame(frames), thr), multi=True)
 
 
 def run_colormap(argv):
@@ -184,9 +254,8 @@ def run_colormap(argv):
     map_rgb = np.asarray(_scale_frame_to(my, mu, mv, args.width, args.height))
     lut = ops.take_colormap(map_rgb)
     args.inputs = args.inputs[1:]
-    fn = jax.jit(lambda f: ops.colormap_apply(f, jnp.asarray(lut)))
-    return _frame_loop(args, lambda frames, fieldno: np.asarray(
-        fn(_last_frame(frames))), multi=True)
+    return _frame_loop(args, lambda frames, fieldno: tools_np.colormap_apply(
+        _last_frame(frames), lut), multi=True)
 
 
 def run_colorkey(argv):
@@ -208,28 +277,29 @@ def run_colorkey(argv):
         color_int = cfg.get("color", 0)
         color = ((color_int >> 16) & 0xFF, (color_int >> 8) & 0xFF,
                  color_int & 0xFF)
-        return jax.jit(lambda dst, src, k: ops.colorkey_apply(
+        return lambda dst, src, k: tools_np.colorkey_apply(
             dst, src, k, color=color,
             threshhold=cfg.get("threshhold", 0),
             invert=bool(cfg.get("invert", False)),
             noisekey=cfg.get("noisekey", 0),
             fade=cfg.get("fade", 0),
-            xdivr=cfg.get("xdivr", 1)))
+            xdivr=cfg.get("xdivr", 1))
 
     fns = [layer_fn(c) for c in (args.per_input or [args.extra])]
-    ring = [jnp.zeros((args.height, args.width, 3), jnp.int32)
+    ring = [np.zeros((args.height, args.width, 3), np.int32)
             for _ in range(args.delay)]
     idx = {"i": 0}
-    key = {"k": jax.random.PRNGKey(0)}
 
     def per_field(frames, fieldno):
         canvas = ring[idx["i"]]
-        for fn, frame in zip(fns, frames):
-            key["k"], sub = jax.random.split(key["k"])
-            canvas = fn(canvas, frame, sub)
+        for layer, (fn, frame) in enumerate(zip(fns, frames)):
+            # noise streams content-addressed by (fieldno, layer) — same
+            # design as the engine noise: restart/batch-invariant
+            canvas = fn(canvas, frame,
+                        int(noise_np.field_stage_key(0, fieldno, layer)))
         ring[idx["i"]] = canvas
         idx["i"] = (idx["i"] + 1) % args.delay
-        return np.asarray(canvas)
+        return canvas
 
     return _frame_loop(args, per_field, multi=True)
 
@@ -240,11 +310,11 @@ def run_average_delay(argv):
     own -n level (reference InputFile semantics)."""
     args = _ToolArgs(argv, extra={"n": (int, "newlevel")})
     cfgs = args.per_input or [args.extra]
-    fns = [jax.jit(lambda dst, src, fld, nl=c.get("newlevel", 128):
-                   ops.average_delay_blend(dst, src, fld, newlevel=nl,
-                                           delay=args.delay))
+    fns = [lambda dst, src, fld, nl=c.get("newlevel", 128):
+           tools_np.average_delay_blend(dst, src, fld, newlevel=nl,
+                                        delay=args.delay)
            for c in cfgs]
-    ring = [jnp.zeros((args.height, args.width, 3), jnp.int32)
+    ring = [np.zeros((args.height, args.width, 3), np.int32)
             for _ in range(args.delay)]
     idx = {"i": 0}
 
@@ -254,36 +324,79 @@ def run_average_delay(argv):
             canvas = fn(canvas, frame, fieldno)
         ring[idx["i"]] = canvas
         idx["i"] = (idx["i"] + 1) % args.delay
-        return np.asarray(canvas)
+        return canvas
 
     return _frame_loop(args, per_field, multi=True)
 
 
-def run_scanimate(argv):
+def run_scanimate(argv, batch: int = 16):
     """ffmpeg_scanimate flags (:653-698): -inntsc (source is interlaced NTSC),
-    plus raster presets 720p60/1080p60 set width/height."""
+    plus raster presets 720p60/1080p60 set width/height.
+
+    The phosphor splat is the one sibling tool with real compute (MXU
+    matmul splat, models/tools._splat_matmul), so it keeps the device — but
+    batched: one dispatch per `batch` fields (two with -inntsc, one per
+    field parity since the source-row start is a static layout parameter),
+    and only the uint8 gray raster rides D2H (the RGB expansion is a host
+    stack) — vs round 2's ~2 RPCs/field."""
     args = _ToolArgs(argv, extra={"inntsc": ("flag", "inntsc")})
     input_ntsc = bool(args.extra.get("inntsc", False))
 
-    fn = jax.jit(lambda f, fld, fno: ops.scanimate_pack(
-        ops.scanimate_field(f, args.height, args.width, fld, fno,
-                            input_ntsc=input_ntsc)),
-        static_argnums=(1,))
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
+    def fnb(frames, fieldnos, fld):
+        def one(f, fno):
+            r = ops.scanimate_field(f, args.height, args.width, fld, fno,
+                                    input_ntsc=input_ntsc)
+            return jnp.clip(r, 0, 255).astype(jnp.uint8)
+        return jax.vmap(one)(frames, fieldnos)
 
     prev = {"frame": None}
 
-    def per_field(frames, fieldno):
-        parity = (fieldno & 1) ^ 1
-        out = np.array(fn(_last_frame(frames),
-                          parity if input_ntsc else 0, jnp.int32(fieldno)))
-        if parity == 1 and prev["frame"] is not None:
-            # the copy-to-screen loop starts at y=field (:965): on odd
-            # fields output row 0 keeps the persistent canvas's content
-            out[0] = prev["frame"][0]
-        prev["frame"] = out
-        return out
+    def dispatch(frames, fieldnos, fld, target=batch):
+        # pad short (final / parity-split) batches up to `target` so every
+        # dispatch reuses one compiled shape per path
+        n = frames.shape[0]
+        pad = target - n if n < target else 0
+        if pad:
+            frames = np.concatenate(
+                [frames, np.zeros((pad,) + frames.shape[1:], frames.dtype)])
+            fieldnos = list(fieldnos) + [0] * pad
+        out = fnb(jnp.asarray(frames, jnp.int32),
+                  jnp.asarray(fieldnos, jnp.int32), fld)
+        return np.asarray(out)[:n]
 
-    return _frame_loop(args, per_field, multi=True)
+    def per_batch(frames, fieldnos):
+        if input_ntsc:
+            # source-row parity is static: split the batch by parity, one
+            # dispatch each, re-interleave
+            par = np.asarray([(f & 1) ^ 1 for f in fieldnos])
+            gray = np.empty((len(fieldnos), args.height, args.width),
+                            np.uint8)
+            for p in (0, 1):
+                sel = np.nonzero(par == p)[0]
+                if sel.size:
+                    # contiguous fields alternate parity, so each group is
+                    # at most ceil(batch/2)
+                    gray[sel] = dispatch(frames[sel],
+                                         [fieldnos[i] for i in sel], p,
+                                         target=(batch + 1) // 2)
+        else:
+            gray = dispatch(frames, fieldnos, 0)
+        outs = []
+        for k, fieldno in enumerate(fieldnos):
+            out = np.repeat(gray[k].astype(np.int32)[..., None], 3, axis=-1)
+            parity = (fieldno & 1) ^ 1
+            if parity == 1 and prev["frame"] is not None:
+                # the copy-to-screen loop starts at y=field (:965): on odd
+                # fields output row 0 keeps the persistent canvas's content
+                out[0] = prev["frame"][0]
+            prev["frame"] = out
+            outs.append(out)
+        return outs
+
+    return _frame_loop_batched(args, per_batch, batch, multi=True)
 
 
 def run_cassette(argv):
@@ -438,8 +551,7 @@ def run_frameblend(argv):
         w16, cutoff = restore.frameblend_weights(
             frame_t, current, framealt, fullframealt, squelch)
         used = [frames[i] for i, _ in w16]
-        out_rgb = np.asarray(restore.frameblend_mix(
-            np.stack(used), w16, gdec, genc))
+        out_rgb = tools_np.frameblend_mix(np.stack(used), w16, gdec, genc)
         _write_rgb(writer, out_rgb, args.use_422)
         print(f"\x0dOutput frame {current} ", end="", file=sys.stderr)
         current += 1
@@ -473,10 +585,9 @@ def run_filmac(argv):
     state = restore.FilmacState()
 
     def per_field(frame, fieldno):
-        minv, maxv, scaleto = restore.filmac_measure(frame, gdec)
+        minv, maxv, scaleto = tools_np.filmac_measure(frame, gdec)
         restore.filmac_update_levels(state, minv, maxv)
-        return np.asarray(restore.filmac_rescale(frame, state, scaleto,
-                                                 gdec, genc))
+        return tools_np.filmac_rescale(frame, state, scaleto, gdec, genc)
 
     return _frame_loop(args, per_field)
 
@@ -488,8 +599,8 @@ def run_vhsled(argv):
     args = _ToolArgs(argv, extra={"height": (int, "height_flag")})
     if "height_flag" in args.extra:
         args.height = args.extra["height_flag"]
-    fn = jax.jit(restore.vhsled_dejitter)
-    return _frame_loop(args, lambda frame, fieldno: np.asarray(fn(frame)))
+    return _frame_loop(
+        args, lambda frame, fieldno: tools_np.vhsled_dejitter(frame))
 
 
 def run_raw28ntsc(argv):

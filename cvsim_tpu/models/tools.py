@@ -24,6 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cvsim_tpu.ops import noise
 from cvsim_tpu.ops.cmath import c_div
 
 
@@ -76,7 +77,10 @@ def colorkey_apply(dst, src, key, *, color: tuple, threshhold: int,
         d = held
 
     if noisekey > 0:
-        r = jax.random.randint(key, d.shape, 0, 20001)
+        # content-addressed splitmix32 stream (same reasons as the engine
+        # noise, ops/noise.py docstring): bit-identical between this jax
+        # path and the host-numpy CLI path (tools_np.colorkey_apply)
+        r = noise.randint_stream(key, d.shape, 0, 20001)
         hit = r < noisekey
         if xdivr > 1:
             # the reference's noise overrides the HELD decision variable d

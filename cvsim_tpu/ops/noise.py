@@ -103,6 +103,16 @@ def uniform_pm1(key, shape=(), dtype=jnp.float32):
     return (bits >> 8).astype(dtype) * dtype(2.0 ** -23) - dtype(1.0)
 
 
+def randint_stream(key, shape, lo: int, hi: int):
+    """[shape] int32 in [lo, hi) from stream `key` (any _key32-able seed).
+
+    The content-addressed replacement for jax.random.randint in the tool
+    ops: bit-identical to ops/noise_np.randint_stream so the host-numpy CLI
+    path and the jittable deployment path key the same pixels."""
+    idx = _counters(shape)
+    return _randint_bits(_bits(_key32(key), idx), lo, hi).reshape(shape)
+
+
 def field_stage_keys(key, fieldno, stage: int):
     """Content-addressed per-field stream ids (u32 [B]): noise for field N
     is a pure function of (seed, N, stage) — independent of how fields are
