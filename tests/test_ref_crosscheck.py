@@ -216,6 +216,19 @@ GEN1_CASES = [
      {"hs": True, "hs_phase": 0.1, "hs_phase_noise": 0.0}),
     ("yc_recombine_outlite", 0, 1,
      {"yc_recombine": 2, "out_lowpass": False, "out_lowpass_lite": True}),
+    # ---- PAL (ffmpeg_to_composite.cpp:456-459 xi=(fieldno+y)&3; :366-431
+    # PAL chroma lowpass single-branch; :859 vblend NTSC-only gate; :682-691
+    # 312.5-line head-switch raster) ----
+    ("pal_defaults", 0, 3, {"ntsc": False}),
+    ("pal_field1_amps", 1, 2, {"ntsc": False, "amp": 45, "amp_back": 55}),
+    # vblend left True: the reference gates it off for PAL — pinned here
+    ("pal_vhs_lp_vblend_gated", 0, 5,
+     {"ntsc": False, "vhs": True, "speed": 1}),
+    # on-raster for the PAL raster: yy = 2*int(p*312.5/1)*... - 48 + parity;
+    # phase 0.1 lands the bar at row 14 of this 24-line frame
+    ("pal_head_switching", 0, 4,
+     {"ntsc": False, "hs": True, "hs_phase": 0.1, "hs_phase_noise": 0.0}),
+    ("pal_yc_recombine", 1, 7, {"ntsc": False, "yc_recombine": 1}),
 ]
 
 

@@ -168,6 +168,23 @@ def test_head_switching_negative_phase_c_cast():
         np.testing.assert_array_equal(np.asarray(got)[0], want)
 
 
+def test_head_switching_pal_raster():
+    """PAL head switching: 312.5-line virtual raster and the (312-288)*2
+    row offset (ffmpeg_to_composite.cpp:682-691) — bar must be on-raster
+    AND match the oracle (which is pinned to the compiled reference in
+    tests/test_ref_crosscheck.py::pal_head_switching)."""
+    _, y, _, _ = rand_yiq(31, l=32, w=64)
+    point = 0.12   # 312.5*0.12 -> switch row 26 of this 64-line frame
+    got = yiq.head_switching_stage(
+        to_dev(y), jnp.array([0], jnp.int32), jax.random.PRNGKey(0),
+        point=point, phase=point, phase_noise=0.0, ntsc=False, fill=16,
+        dtype=jnp.float64)
+    want = ref.head_switching(y.copy(), 0, point, point, 0.0,
+                              ntsc=False, fill=16)
+    np.testing.assert_array_equal(np.asarray(got)[0], want)
+    assert not np.array_equal(np.asarray(got)[0], rand_yiq(31, l=32, w=64)[1])
+
+
 def test_head_switching_visible_bar():
     # Put the switch point inside the visible area so rotation actually
     # happens: for a 32-line field the visible rows cover raster lines

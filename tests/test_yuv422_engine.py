@@ -104,6 +104,48 @@ def test_vhs_stages():
     assert_near_exact(gv, wv, name="sharpen V")
 
 
+def test_full_chain_pal_noise_off():
+    """Full gen-1 PAL chain (VHS LP, noise off) vs composed golden stages:
+    xi=(fieldno+y)&3 (ffmpeg_to_composite.cpp:456-459), single-branch PAL
+    chroma lowpass (:366-431), vblend gated OFF for PAL (:859). The oracle's
+    PAL branches are themselves pinned to the compiled reference in
+    tests/test_ref_crosscheck.py (pal_* cases)."""
+    from cvsim_tpu.config import VHSSpeed as VS
+
+    cfg = CompositeConfig(
+        ntsc=False, video_noise=0, video_chroma_noise=0,
+        video_chroma_phase_noise=0, video_chroma_loss=0,
+        vhs_head_switching=False, emulating_vhs=True,
+        vhs_tape_speed=VS.LP)
+    y, u, v = rand_planes(31)
+    fieldno, parity = 3, 0
+    gy, gu, gv = yuv422.composite_video_process(
+        to_dev(y), to_dev(u), to_dev(v), cfg=cfg,
+        fieldno=jnp.array([fieldno], jnp.int32),
+        field_parity=jnp.array([parity], jnp.int32),
+        key=jax.random.PRNGKey(0), dtype=jnp.float64)
+
+    wy, wu, wv = y.copy(), u.copy(), v.copy()
+    wu, wv = ref.chroma_lowpass_yuv(wu, wv, ntsc=False)
+    wy, wu, wv = ref.yuv_to_ntsc(wy, wu, wv, fieldno, parity, 50, ntsc=False)
+    wy, wu, wv = ref.ntsc_to_yuv(wy, wu, wv, fieldno, parity, 50, ntsc=False)
+    sp = VS.LP
+    wy = ref.vhs_luma_lowpass_yuv(wy, sp.luma_cut)
+    wu, wv = ref.vhs_chroma_lowpass_yuv(wu, wv, sp.chroma_cut,
+                                        sp.chroma_delay_gen1)
+    # NO vert blend: NTSC-only
+    wy = ref.vhs_sharpen_luma_yuv(wy, sp.luma_cut, cfg.vhs_out_sharpen)
+    wu, wv = ref.vhs_sharpen_chroma_yuv(wu, wv, sp.chroma_cut,
+                                        cfg.vhs_out_sharpen_chroma)
+    wy, wu, wv = ref.yuv_to_ntsc(wy, wu, wv, fieldno, parity, 50, ntsc=False)
+    wy, wu, wv = ref.ntsc_to_yuv(wy, wu, wv, fieldno, parity, 50, ntsc=False)
+    wu, wv = ref.chroma_lowpass_yuv(wu, wv, ntsc=False)
+
+    assert_near_exact(gy, wy, frac=0.02, name="Y")
+    assert_near_exact(gu, wu, frac=0.02, name="U")
+    assert_near_exact(gv, wv, frac=0.02, name="V")
+
+
 def test_full_chain_noise_off():
     """Full gen-1 chain (VHS SP, noise off) vs composed golden stages."""
     cfg = CompositeConfig(
