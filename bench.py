@@ -151,41 +151,116 @@ def link_mb_per_sec() -> float:
     return 2 * x.nbytes / 1e6 / dt
 
 
-def e2e_fields_per_sec() -> tuple[float, float]:
-    """Wall-clock throughput of the real CLI tool on a real clip.
+def _parse_phases(stderr_text: str) -> dict:
+    """Parse CVSIM_PHASES=1 lines: {name: {"t":..., "proc_age":..., ...}}."""
+    out = {}
+    for line in stderr_text.splitlines():
+        if not line.startswith("[phase] "):
+            continue
+        parts = line.split()
+        name = parts[1]
+        kv = {}
+        for p in parts[2:]:
+            k, _, v = p.partition("=")
+            kv[k] = float(v)
+        out[name] = kv
+    return out
 
-    Returns (overall, steady): overall = fields/wall on a 300-frame clip
-    including interpreter/jax/compile-cache startup; steady subtracts the
-    fixed startup cost measured with a 4-frame run of the same tool."""
+
+def e2e_fields_per_sec() -> dict:
+    """Wall-clock + per-phase cost of the real CLI tool on a 300-frame clip.
+
+    One run, phases measured from INSIDE the process (CVSIM_PHASES=1
+    timestamps) instead of differencing two subprocess walls (the round-2
+    estimator measured run-to-run first-fetch variance, not throughput):
+      startup_s     exec -> run_video entry (interpreter + jax + demux)
+      first_fetch_s first dispatch -> first GOP bytes on host (remote
+                    program load dominates this on tunneled hosts)
+      steady_fields_per_sec  after the first fetch, the streaming rate
+    """
     import tempfile
 
-    env = dict(os.environ)
+    env = dict(os.environ, CVSIM_PHASES="1")
     tmp = tempfile.mkdtemp(prefix="cvsim_bench_")
-    times = {}
     try:
-        for frames in (4, 300):
-            clip = os.path.join(tmp, f"in{frames}.y4m")
-            out = os.path.join(tmp, f"out{frames}.y4m")
-            _write_clip(clip, frames)
-            cmd = [sys.executable, "-m", "cvsim_tpu", "to-composite",
-                   "-i", clip, "-o", out, "-vhs", "-vhs-speed", "ep"]
-            t0 = time.time()
-            subprocess.run(cmd, check=True, cwd=REPO, env=env,
+        clip = os.path.join(tmp, "in300.y4m")
+        out = os.path.join(tmp, "out300.y4m")
+        _write_clip(clip, 300)
+        cmd = [sys.executable, "-m", "cvsim_tpu", "to-composite",
+               "-i", clip, "-o", out, "-vhs", "-vhs-speed", "ep"]
+        t0 = time.time()
+        r = subprocess.run(cmd, check=True, cwd=REPO, env=env,
                            stdout=subprocess.DEVNULL,
-                           stderr=subprocess.DEVNULL)
-            times[frames] = time.time() - t0
-            print(f"[bench] e2e CLI {frames} frames ({frames*2} fields): "
-                  f"{times[frames]:.1f}s wall", file=sys.stderr)
+                           stderr=subprocess.PIPE, text=True)
+        wall = time.time() - t0
+        ph = _parse_phases(r.stderr)
+        fields = int(ph["run_video_done"]["fields"])
+        first_gop = int(ph["first_fetch_done"]["fields"])
+        steady_dt = ph["run_video_done"]["t"] - ph["first_fetch_done"]["t"]
+        res = {
+            "overall": fields / wall,
+            "startup_s": ph["run_video_start"]["proc_age"],
+            "first_fetch_s": (ph["first_fetch_done"]["t"]
+                              - ph["first_dispatch"]["t"]),
+            "steady": ((fields - first_gop) / steady_dt
+                       if steady_dt > 0.05 else fields / wall),
+        }
+        print(f"[bench] e2e CLI 300 frames ({fields} fields): {wall:.1f}s "
+              f"wall (startup {res['startup_s']:.1f}s, first-fetch "
+              f"{res['first_fetch_s']:.1f}s, then "
+              f"{res['steady']:.1f} fields/s steady)", file=sys.stderr)
+        return res
     finally:
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
-    overall = 600 / times[300]
-    # The 4-frame run eats any cold compile; if the cache was cold enough
-    # that it exceeded the 300-frame run, the subtraction is meaningless —
-    # report overall as the (conservative) steady figure instead.
-    dt = times[300] - times[4]
-    steady = (600 - 8) / dt if dt > 1.0 else overall
-    return overall, steady
+
+
+def e2e_daemon_fields_per_sec() -> float:
+    """Throughput of the 300-frame clip through a WARM `cvsim serve`
+    daemon — the product answer to the per-process program-load stall:
+    the resident process pays it once; every later invocation streams at
+    link speed. Measures the second -via run (the first eats the residual
+    warmup)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="cvsim_bench_srv_")
+    sock = os.path.join(tmp, "cvsim.sock")
+    srv = None
+    try:
+        clip = os.path.join(tmp, "in300.y4m")
+        _write_clip(clip, 300)
+        srv = subprocess.Popen(
+            [sys.executable, "-m", "cvsim_tpu", "serve", "-socket", sock,
+             "-prime"],
+            cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for _ in range(600):
+            if os.path.exists(sock):
+                break
+            time.sleep(0.1)
+        rate = 0.0
+        for rep in range(2):
+            out = os.path.join(tmp, f"out{rep}.y4m")
+            t0 = time.time()
+            subprocess.run(
+                [sys.executable, "-m", "cvsim_tpu", "-via", sock,
+                 "to-composite", "-i", clip, "-o", out,
+                 "-vhs", "-vhs-speed", "ep"],
+                check=True, cwd=REPO, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL, timeout=900)
+            dt = time.time() - t0
+            rate = 600 / dt
+            print(f"[bench] e2e daemon rep {rep}: {dt:.1f}s "
+                  f"({rate:.1f} fields/s)", file=sys.stderr)
+        return rate
+    finally:
+        import shutil
+        if srv is not None:
+            srv.terminate()
+            try:
+                srv.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                srv.kill()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main():
@@ -208,18 +283,23 @@ def main():
         print(f"[bench] link: {link:.1f} MB/s aggregate "
               f"(wire ceiling ~{link/0.59:.0f} fields/s at 0.59 MB/field)",
               file=sys.stderr)
-        overall, steady = e2e_fields_per_sec()
-        print(f"[bench] e2e CLI: {overall:.1f} fields/s wall "
-              f"({steady:.1f} steady-state) = {overall/59.94:.2f}x realtime "
-              f"wall, vs scalar baseline {overall/base_fps:.2f}x",
-              file=sys.stderr)
-        result["e2e_fields_per_sec"] = round(overall, 2)
-        result["e2e_steady_fields_per_sec"] = round(steady, 2)
+        e2e = e2e_fields_per_sec()
+        daemon = e2e_daemon_fields_per_sec()
+        print(f"[bench] e2e CLI: {e2e['overall']:.1f} fields/s wall one-shot "
+              f"({e2e['steady']:.1f} steady in-process, "
+              f"{daemon:.1f} via warm daemon) "
+              f"vs scalar baseline {e2e['overall']/base_fps:.2f}x one-shot / "
+              f"{daemon/base_fps:.2f}x daemon", file=sys.stderr)
+        result["e2e_fields_per_sec"] = round(e2e["overall"], 2)
+        result["e2e_startup_s"] = round(e2e["startup_s"], 1)
+        result["e2e_first_fetch_s"] = round(e2e["first_fetch_s"], 1)
+        result["e2e_steady_fields_per_sec"] = round(e2e["steady"], 2)
+        result["e2e_daemon_fields_per_sec"] = round(daemon, 2)
         result["link_mb_per_sec"] = round(link, 1)
         if mode == "--e2e":
             result["metric"] = "480i_e2e_cli_fields_per_sec_full_vhs_ep_1chip"
-            result["value"] = round(overall, 2)
-            result["vs_baseline"] = round(overall / base_fps, 2)
+            result["value"] = round(e2e["overall"], 2)
+            result["vs_baseline"] = round(e2e["overall"] / base_fps, 2)
     print(json.dumps(result))
 
 

@@ -226,9 +226,17 @@ def _run_common(st, gen1: bool):
                 out_stream, finalize = ffmpeg_pipe.resolve_video_output(
                     st.output_file, mux_wav=mux_wav,
                     interlaced=cfg.output.interlaced_output)
+            frame_log, log_rate = None, 90000
+            if st.video_pts_in:
+                from cvsim_tpu.host import timing as _timing
+
+                frame_log, log_rate = _timing.read_frame_pts_log(
+                    st.video_pts_in)
             try:
                 fields = pipe.run_video(reader, out_stream,
-                                        ckpt_path=ckpt_path)
+                                        ckpt_path=ckpt_path,
+                                        frame_log=frame_log,
+                                        frame_log_rate=log_rate)
             except BaseException:
                 # closing a half-fed encoder raises a secondary error
                 # (ffmpeg exits nonzero on the truncated stream) that must
@@ -290,10 +298,26 @@ def _cmd_vaporwave(argv):
 COMMANDS["vaporwave"] = _cmd_vaporwave
 
 
+def cmd_serve(argv):
+    """Daemon mode (cli/serve.py): resident process amortizing the
+    per-process device-program load across tool invocations."""
+    from cvsim_tpu.cli import serve
+
+    return serve.run_serve(argv)
+
+
+COMMANDS["serve"] = cmd_serve
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) >= 2 and argv[0] == "-via":
+        # forward to a running `cvsim serve` (no jax init in this process)
+        from cvsim_tpu.cli import serve
+
+        return serve.run_via(argv[1], argv[2:])
     if not argv or argv[0] in ("-h", "--help", "help"):
-        print("usage: cvsim <command> [flags]\ncommands: "
+        print("usage: cvsim [-via <socket>] <command> [flags]\ncommands: "
               + " ".join(sorted(COMMANDS)), file=sys.stderr)
         return 0 if argv else 1
     cmd = argv[0]

@@ -1,0 +1,184 @@
+"""Daemon mode: a resident cvsim process that runs tool commands over a
+unix socket, amortizing the per-process device-program load.
+
+The reference tools are millisecond-start C++ binaries
+(/root/reference/ffmpeg_to_composite.cpp main, :1957-2340). The rebuild's
+device programs load/compile through a remote service on first execution —
+measured at 50-400 s per fresh process on tunneled hosts even with a warm
+local compile cache (the service re-ingests the program; see
+docs/STATUS.md "first-fetch stall"). A resident server pays that once:
+
+    cvsim serve [-socket /path.sock] [-prime] &
+    cvsim -via /path.sock to-composite -i in.y4m -o out.y4m -vhs ...
+
+`-prime` pre-runs the flagship gen-1 program on a dummy GOP at startup so
+even the FIRST client command streams at link speed. Every subsequent
+invocation of any tool skips interpreter + jax init + program load.
+
+Protocol (line-JSON over SOCK_STREAM): client sends {"argv": [...]},
+server streams {"err": "..."} progress lines and one final {"rc": N}.
+Commands run one at a time (one device). The server is same-user
+(socket mode 0700 dir) and same-machine by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import sys
+import threading
+
+
+DEFAULT_SOCKET = os.path.join(
+    os.environ.get("XDG_RUNTIME_DIR", "/tmp"), "cvsim.sock")
+
+
+class _TeeErr:
+    """stderr tee: forward the HANDLER thread's tool progress to the client
+    socket. Swapping the global sys.stderr is process-wide, so writes from
+    any other thread (including an in-process client, as in the tests)
+    must pass through untouched — otherwise a client echoing progress to
+    stderr would loop it straight back into the socket."""
+
+    def __init__(self, wfile, fallback, owner_ident):
+        self.wfile = wfile
+        self.fallback = fallback
+        self.owner = owner_ident
+
+    def write(self, s):
+        if not s:
+            return 0
+        if threading.get_ident() != self.owner:
+            return self._fall(s)
+        try:
+            self.wfile.write((json.dumps({"err": s}) + "\n").encode())
+            self.wfile.flush()
+        except OSError:
+            return self._fall(s)
+        return len(s)
+
+    def _fall(self, s):
+        try:
+            self.fallback.write(s)
+        except (OSError, ValueError):   # closed capture file etc.
+            pass
+        return len(s)
+
+    def flush(self):
+        pass
+
+
+def _prime_gen1():
+    """Run the flagship gen-1 GOP program once on a dummy GOP and fetch the
+    result: forces remote compile + program load + channel ramp so the
+    first real command starts at steady-state."""
+    from cvsim_tpu import presets
+    from cvsim_tpu.host.pipeline import CompositePipeline
+
+    st = presets.parse_composite_flags(["-vhs", "-vhs-speed", "ep"],
+                                       gen2=False)
+    cfg = st.to_run_config(gen1=True)
+    pipe = CompositePipeline(cfg, progress=False)
+    gop_step = pipe._build_gop_program(480, 704, 240, 352, False, True)
+    pipe._prime_program(gop_step, 480, 704, 240, 352)
+
+
+def run_serve(argv) -> int:
+    sock_path = DEFAULT_SOCKET
+    prime = False
+    one_shot = False          # test hook: exit after one connection
+    i = 0
+    while i < len(argv):
+        a = argv[i].lstrip("-")
+        i += 1
+        if a == "socket":
+            sock_path = argv[i]; i += 1
+        elif a == "prime":
+            prime = True
+        elif a == "one-shot":
+            one_shot = True
+        else:
+            print(f"Unknown switch '{a}'", file=sys.stderr)
+            return 1
+
+    from cvsim_tpu.cli import main as climain
+
+    lock = threading.Lock()
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            try:
+                line = self.rfile.readline()
+                if not line:
+                    return
+                req = json.loads(line)
+            except (ValueError, OSError):
+                return
+            with lock:                      # one device, one command at a time
+                old = sys.stderr
+                sys.stderr = _TeeErr(self.wfile, old,
+                                     threading.get_ident())
+                try:
+                    rc = climain.main(req.get("argv", []))
+                except SystemExit as e:
+                    rc = int(e.code or 0)
+                except BaseException as e:   # report, keep serving
+                    print(f"cvsim serve: {type(e).__name__}: {e}",
+                          file=sys.stderr)
+                    rc = 1
+                finally:
+                    sys.stderr = old
+            try:
+                self.wfile.write((json.dumps({"rc": rc}) + "\n").encode())
+            except OSError:
+                pass
+
+    if os.path.exists(sock_path):
+        os.unlink(sock_path)
+
+    class Server(socketserver.ThreadingUnixStreamServer):
+        daemon_threads = True
+
+    srv = Server(sock_path, Handler)
+    if prime:
+        t = threading.Thread(target=_prime_gen1, daemon=True,
+                             name="cvsim-prime-gen1")
+        t.start()
+    print(f"cvsim serve: listening on {sock_path}", file=sys.stderr)
+    try:
+        if one_shot:
+            srv.handle_request()
+        else:
+            srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+        try:
+            os.unlink(sock_path)
+        except OSError:
+            pass
+    return 0
+
+
+def run_via(sock_path: str, argv) -> int:
+    """Client: forward argv to a running `cvsim serve`, stream its progress
+    to stderr, return its exit code."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.connect(sock_path)
+        s.sendall((json.dumps({"argv": list(argv)}) + "\n").encode())
+        f = s.makefile("rb")
+        for line in f:
+            try:
+                msg = json.loads(line)
+            except ValueError:
+                continue
+            if "err" in msg:
+                sys.stderr.write(msg["err"])
+                sys.stderr.flush()
+            if "rc" in msg:
+                return int(msg["rc"])
+    print("cvsim -via: server closed without a result", file=sys.stderr)
+    return 1

@@ -72,6 +72,22 @@ def _bkey_scan(y, u, v, fy, fu, fv, level: int, valid):
     return (oy, ou, ov), (fy, fu, fv)
 
 
+def _proc_age() -> float:
+    """Seconds since this process started (/proc; 0.0 where unavailable).
+    Lets phase lines report true cost-from-exec including interpreter and
+    jax import, which time.time() deltas inside the process cannot see."""
+    try:
+        with open("/proc/self/stat") as f:
+            fields = f.read().rsplit(")", 1)[1].split()
+        start_ticks = int(fields[19])        # starttime, field 22 overall
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        hz = os.sysconf("SC_CLK_TCK")
+        return uptime - start_ticks / hz
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 def _interleave_np(top: np.ndarray, bottom: np.ndarray) -> np.ndarray:
     out = np.empty((top.shape[0] * 2, top.shape[1]), top.dtype)
     out[0::2] = top
@@ -189,8 +205,57 @@ class CompositePipeline:
                  v.astype(jnp.uint8)], axis=2)
             return packed[: gop // 2], packed[gop // 2:], filter_planes
 
+        if os.environ.get("CVSIM_AOT", "1") == "1":
+            # AOT-compile via lower().compile() instead of first-call jit:
+            # on the tunneled axon backend the lazy jit path defers the
+            # server-side program load to the first FETCH, which was
+            # measured at 50-400 s; the explicit compile() path loads the
+            # program synchronously in seconds (docs/STATUS.md round-3
+            # "first-fetch stall" diagnosis). Everything is static here, so
+            # compiling at build time costs nothing extra.
+            sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)
+            npix = ny + 2 * nu
+            l = out.height // 2
+            w2 = out.width // 2
+            gop_step = gop_step.lower(
+                sds((npix,), jnp.uint8), sds((5 * gop,), jnp.int32),
+                self.key,
+                (sds((l, out.width), jnp.int32), sds((l, w2), jnp.int32),
+                 sds((l, w2), jnp.int32))).compile()
+
         self._programs[cache_key] = gop_step
         return gop_step
+
+    def _dummy_batch(self, src_h: int, src_w: int, chroma_h: int,
+                     chroma_w: int):
+        """One all-zeros GOP with the real wire layout (for priming)."""
+        b = FieldBatcher(gop=self.gop, src_height=src_h,
+                         chroma_height=chroma_h, luma_w=src_w,
+                         chroma_w=chroma_w)
+        z = np.zeros((src_h, src_w), np.uint8)
+        zc = np.zeros((chroma_h, chroma_w), np.uint8)
+        fld, batch = 0, None
+        while batch is None:
+            b.add_frame(z, zc, zc)
+            for _ in range(2):
+                r = b.add_field(fld, (fld & 1) ^ 1, 0)
+                if r is not None:
+                    batch = r
+                fld += 1
+        return batch
+
+    def _prime_program(self, gop_step, src_h, src_w, chroma_h, chroma_w):
+        """Execute gop_step once on a dummy GOP and fetch one output half:
+        forces remote compile + program load + transfer-channel ramp before
+        (or overlapped with) the first real batch. Best-effort."""
+        try:
+            batch = self._dummy_batch(src_h, src_w, chroma_h, chroma_w)
+            ha, _hb, _pl = gop_step(
+                jax.device_put(batch.pix), jax.device_put(batch.meta),
+                self.key, self._filter_planes)
+            np.asarray(ha)
+        except Exception:
+            pass   # priming must never take down the run
 
     # ------------------------------------------------------------- emit side
 
@@ -253,6 +318,7 @@ class CompositePipeline:
 
     def run_video(self, reader: y4m.Y4MReader, out_stream,
                   ckpt_path: str | None = None, ckpt_every: int = 4,
+                  frame_log=None, frame_log_rate: int = 90000,
                   _fail_after_gops: int | None = None):
         """Drive video frames from a Y4M reader through the chain with
         reader-prep / device-compute / D2H-encode overlapped in threads.
@@ -273,6 +339,10 @@ class CompositePipeline:
         src_interlaced = hdr.interlacing in ("t", "b")
         src_tff = hdr.interlacing != "b"
 
+        clock = timing.FrameClock(fps, self._field_rate,
+                                  log=frame_log or None,
+                                  log_rate=frame_log_rate)
+
         out_fps = (self._field_rate / 2 if out.interlaced_output
                    else self._field_rate)
         whdr = y4m.Y4MHeader(
@@ -284,7 +354,9 @@ class CompositePipeline:
             aspect="4:3",
             colorspace="422" if out.use_422_colorspace else "420jpeg")
 
-        run_hash = checkpoint.config_hash(cfg, hdr, self.gop)
+        run_hash = checkpoint.config_hash(
+            cfg, hdr, self.gop,
+            (frame_log, frame_log_rate) if frame_log else None)
         resume_field = 0
         frames_written = 0
         ckpt_base_idx = None
@@ -320,11 +392,11 @@ class CompositePipeline:
             # frame rel produces fields [video_field, tgt(rel+1)), so the
             # first needed frame is the smallest rel with
             # tgt(rel+1) > resume_field (plus the window prefix base_idx)
+            base0 = ckpt_base_idx or 0
             rel0 = 0
-            while timing.frame_pts_to_field(
-                    rel0 + 1, fps, self._field_rate) <= resume_field:
+            while clock.fields(base0 + rel0, base0)[1] <= resume_field:
                 rel0 += 1
-            skip_n = (ckpt_base_idx or 0) + rel0
+            skip_n = base0 + rel0
             checkpoint.skip_y4m_frames(reader, skip_n)
         else:
             try:
@@ -352,12 +424,25 @@ class CompositePipeline:
         errors: list[BaseException] = []
         fields_done = {"n": 0}
 
+        # The first execution of a freshly-compiled program must run with
+        # the transfer channel QUIET: any concurrent H2D/D2H racing it
+        # triggers a pathological 50-400s load path in the tunneled device
+        # client, while an isolated execute+fetch right after compile
+        # completes in seconds (round-3 stall diagnosis, docs/STATUS.md).
+        # `warm` gates all overlap machinery until the first GOP's bytes
+        # are on the host; steady-state behavior is unchanged.
+        warm = threading.Event()
+        nput = {"n": 0}
+
         def put_batch(b):
             # H2D from the reader thread: the enqueue overlaps the link with
             # the previous GOP's D2H and the device compute, so steady-state
             # throughput is total_wire_bytes / link_rate instead of the sum
             # of serial transfer phases (the link, not compute, is the e2e
             # wall on tunneled hosts — ~32 MB/s aggregate here).
+            if nput["n"] >= 1:
+                warm.wait()
+            nput["n"] += 1
             b.pix = jax.device_put(b.pix)
             b.meta = jax.device_put(b.meta)
             q_in.put(b)
@@ -374,7 +459,7 @@ class CompositePipeline:
                         # trailer (reference soft-SIGINT, :62-66,2120-2124)
                         break
                     frame_idx = local_idx + skip_n
-                    t = float(frame_idx / fps)
+                    t = clock.seconds(frame_idx)
                     if cfg.transcode_end >= 0 and t >= cfg.transcode_end:
                         break
                     if t < cfg.transcode_start:
@@ -382,11 +467,7 @@ class CompositePipeline:
                     if base_idx is None:
                         base_idx = frame_idx
                         base_idx_box["v"] = base_idx
-                    rel = frame_idx - base_idx
-                    frame_pts = timing.frame_pts_to_field(
-                        rel, fps, self._field_rate)
-                    tgt = timing.frame_pts_to_field(
-                        rel + 1, fps, self._field_rate)
+                    frame_pts, tgt = clock.fields(frame_idx, base_idx)
                     tgt = timing.video_target_field(tgt, video_field)
                     batcher.add_frame(ysrc, usrc, vsrc)
                     while video_field < tgt:
@@ -411,11 +492,25 @@ class CompositePipeline:
         wc = w // 2
         fetch_pool = ThreadPoolExecutor(2, thread_name_prefix="cvsim-d2h")
         trace = os.environ.get("CVSIM_TIMING") == "1"
+        phases = os.environ.get("CVSIM_PHASES") == "1"
+
+        def phase(name, **kv):
+            """Machine-readable phase line (CVSIM_PHASES=1): bench.py reads
+            these to report startup/first-fetch/steady separately instead of
+            differencing two subprocess walls (round-2 weak #1)."""
+            if phases:
+                extra = "".join(f" {k}={v}" for k, v in kv.items())
+                print(f"[phase] {name} t={time.time():.3f}"
+                      f" proc_age={_proc_age():.3f}{extra}",
+                      file=sys.stderr, flush=True)
+
+        phase("run_video_start")
 
         wrote = {"frames": frames_written, "gops": 0}
         base_idx_box = {"v": ckpt_base_idx}
 
         def write_loop():
+            first_fetch = True
             try:
                 while True:
                     item = q_out.get()
@@ -423,10 +518,21 @@ class CompositePipeline:
                         return
                     half_a, half_b, fieldnos, parities, n_real, planes = item
                     t0 = time.perf_counter()
-                    # concurrent D2H of the two halves (blocks until done)
-                    buf_a, buf_b = fetch_pool.map(np.asarray,
-                                                  (half_a, half_b))
+                    if first_fetch:
+                        # serial fetch on one thread, channel quiet (see
+                        # `warm` above) — the exp-verified fast first-run
+                        # pattern
+                        buf_a = np.asarray(half_a)
+                        buf_b = np.asarray(half_b)
+                        warm.set()
+                    else:
+                        # concurrent D2H of the two halves (blocks until done)
+                        buf_a, buf_b = fetch_pool.map(np.asarray,
+                                                      (half_a, half_b))
                     t1 = time.perf_counter()
+                    if first_fetch:
+                        first_fetch = False
+                        phase("first_fetch_done", fields=n_real)
                     na = buf_a.shape[0]
                     for k in range(n_real):
                         row = buf_a[k] if k < na else buf_b[k - na]
@@ -463,24 +569,31 @@ class CompositePipeline:
                 errors.append(e)
                 while q_out.get() is not None:   # drain; main never blocks
                     pass
+            finally:
+                warm.set()   # never leave the reader gated on error paths
 
         rt = threading.Thread(target=read_loop, name="cvsim-read", daemon=True)
         wt = threading.Thread(target=write_loop, name="cvsim-write", daemon=True)
         rt.start()
         wt.start()
+        first_dispatch = True
         try:
             while True:
                 b = q_in.get()
                 if b is None:
                     break
+                if first_dispatch:
+                    first_dispatch = False
+                    phase("first_dispatch")
                 # noise is content-addressed per (seed, fieldno, stage): the
                 # base key passes straight through so output is GOP- and
                 # restart-invariant
                 t0 = time.perf_counter()
                 half_a, half_b, self._filter_planes = gop_step(
                     b.pix, b.meta, self.key, self._filter_planes)
-                half_a.copy_to_host_async()
-                half_b.copy_to_host_async()
+                if warm.is_set():
+                    half_a.copy_to_host_async()
+                    half_b.copy_to_host_async()
                 if trace:
                     print(f"[timing] dispatch {time.perf_counter()-t0:6.3f}s "
                           f"(batch of {b.n_real})", file=sys.stderr)
@@ -491,6 +604,7 @@ class CompositePipeline:
             # writer needs its sentinel, and the reader may be blocked on a
             # full q_in — drain until it exits so no thread outlives us
             # holding file handles and device buffers
+            warm.set()
             q_out.put(None)
             while rt.is_alive():
                 try:
@@ -505,6 +619,7 @@ class CompositePipeline:
             raise errors[0]
         if ckpt_path:
             checkpoint.clear(ckpt_path)
+        phase("run_video_done", fields=fields_done["n"])
         if self.progress:
             print("", file=sys.stderr)
         return fields_done["n"]

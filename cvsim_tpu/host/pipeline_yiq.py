@@ -16,6 +16,7 @@ Notes on fidelity vs the reference's structure:
 
 from __future__ import annotations
 
+import os
 import sys
 from fractions import Fraction
 
@@ -78,10 +79,31 @@ class YIQPipeline:
                     rgb_fields, fieldno, parity, key, cfg=ccfg, dtype=dtype)
             return rgb_fields.astype(jnp.uint8)
 
+        if os.environ.get("CVSIM_AOT", "1") == "1":
+            # explicit lower().compile(): the lazy jit-call path defers the
+            # remote program load to the first fetch, measured at 50-400s
+            # on tunneled hosts (same diagnosis as CompositePipeline)
+            l, w = out.height // 2, out.width
+            sds = jax.ShapeDtypeStruct
+            process_batch = process_batch.lower(
+                sds((gop, l, w, 3), jnp.uint8), sds((gop,), jnp.int32),
+                sds((gop,), jnp.int32), self.key).compile()
+
         self._process_batch = process_batch
+        self._warm = False
 
     def _flush(self, batch, writer, final=False):
-        """Double-buffered like CompositePipeline._flush_batch."""
+        """Double-buffered like CompositePipeline's streaming loop — except
+        for the FIRST batch, which is fetched with the transfer channel
+        quiet before the next dispatch's H2D starts: concurrent transfers
+        racing a program's first execution trigger a 50-400s load path in
+        the tunneled device client (round-3 stall diagnosis,
+        docs/STATUS.md)."""
+        prev = getattr(self, "_inflight", None)
+        if not self._warm and prev is not None:
+            self._emit_inflight(prev, writer)
+            prev = None
+            self._warm = True
         if batch:
             # pad short (final) batches to one stable compile shape
             padded = batch + [batch[-1]] * (self.gop - len(batch))
@@ -90,21 +112,23 @@ class YIQPipeline:
             fieldnos = jnp.asarray([b[1] for b in padded], jnp.int32)
             parities = jnp.asarray([b[2] for b in padded], jnp.int32)
             # content-addressed noise: base key passes straight through
-            out = self._process_batch(rgbs, fieldnos, parities, self.key)
-            inflight = (out, [int(b[1]) for b in batch])
+            inflight = (self._process_batch(rgbs, fieldnos, parities,
+                                            self.key),
+                        [int(b[1]) for b in batch])
         else:
             inflight = None
-        prev = getattr(self, "_inflight", None)
         self._inflight = inflight
         for item in ((prev,) if not final else (prev, inflight)):
-            if item is None:
-                continue
-            out, metas = item
-            out = np.asarray(out)
-            for k, fieldno in enumerate(metas):
-                self._emit(out[k], fieldno, writer)
+            if item is not None:
+                self._emit_inflight(item, writer)
         if final:
             self._inflight = None
+
+    def _emit_inflight(self, item, writer):
+        out, metas = item
+        out = np.asarray(out)
+        for k, fieldno in enumerate(metas):
+            self._emit(out[k], fieldno, writer)
 
     def _emit(self, rgb_field, fieldno, writer):
         out = self.cfg.output

@@ -68,6 +68,103 @@ def frame_pts_to_field(frame_index: int, fps: Fraction, field_rate: Fraction) ->
     return -((2 * -n + d) // (2 * d))
 
 
+class FrameClock:
+    """Per-frame presentation-time -> output-field targeting.
+
+    CFR mode (no log): fields come from the frame index and the container
+    rate — what Y4M can express. VFR mode (log given): each frame carries
+    its own (pts, duration) in ticks at `log_rate`, the rebuild's version of
+    the reference's reordered_opaque -> AVDelayedFrameInfo duration map
+    (ffmpeg_to_composite.cpp:1641-1647, 2303-2307): a telecined/VFR source
+    renders each frame for its OWN duration instead of a constant cadence.
+    The demux pump's adj_time repair (:2249-2293) is applied to the pts
+    stream (backward >1.5s / forward >5s jumps compensated); frames must be
+    fed in presentation order (`fields` asserts monotonic access).
+
+    All field math is exact rational arithmetic with AV_ROUND_NEAR_INF
+    rounding (same as frame_pts_to_field).
+    """
+
+    def __init__(self, fps: Fraction, field_rate: Fraction,
+                 log=None, log_rate: int = 90000):
+        self.fps = fps
+        self.field_rate = field_rate
+        self.log = log            # list[(pts_ticks, dur_ticks)] or None
+        self.log_rate = log_rate
+        self._adj = []            # adjusted pts per frame idx (ticks)
+        self._add = 0
+
+    def _adj_pts(self, idx: int) -> int:
+        log = self.log
+        while len(self._adj) <= idx:
+            k = len(self._adj)
+            if k >= len(log):
+                # past the log's coverage: extend by the last duration
+                # (decoder behavior: missing info falls back to cadence)
+                p, d = log[-1]
+                extra = (k - len(log) + 1) * max(1, d)
+                self._adj.append(self._adj[len(log) - 1] + extra)
+                continue
+            t = log[k][0]
+            if k == 0:
+                self._add = 0
+            else:
+                prev = self._adj[k - 1]
+                raw = t + self._add
+                back = int(1.5 * self.log_rate)
+                fwd = int(5.0 * self.log_rate)
+                if raw + back < prev or raw > prev + fwd:
+                    self._add += prev - raw
+            self._adj.append(t + self._add)
+        return self._adj[idx]
+
+    def _to_fields(self, ticks: int) -> int:
+        q = Fraction(ticks) * self.field_rate / self.log_rate
+        n, d = q.numerator, q.denominator
+        if n >= 0:
+            return (2 * n + d) // (2 * d)
+        return -((2 * -n + d) // (2 * d))
+
+    def seconds(self, idx: int) -> float:
+        """Presentation time of frame idx (for -ss/-se gating)."""
+        if self.log is None:
+            return float(idx / self.fps)
+        return float(self._adj_pts(idx) / self.log_rate)
+
+    def fields(self, idx: int, base_idx: int) -> tuple[int, int]:
+        """(start_field, end_field) of frame `idx`, rebased so the first
+        accepted frame (`base_idx`) starts the field clock at zero (the
+        adj_time rebase, :2264-2265)."""
+        if self.log is None:
+            rel = idx - base_idx
+            return (frame_pts_to_field(rel, self.fps, self.field_rate),
+                    frame_pts_to_field(rel + 1, self.fps, self.field_rate))
+        p0 = self._adj_pts(base_idx)
+        p = self._adj_pts(idx) - p0
+        d = self.log[idx][1] if idx < len(self.log) else self.log[-1][1]
+        return (self._to_fields(p), self._to_fields(p + d))
+
+
+def read_frame_pts_log(path: str):
+    """Parse a `-video-pts-in` sidecar frame log: optional `rate <hz>` first
+    line (ticks/second, default 90000 — the MPEG-TS clock), then one
+    `<pts> <duration>` line per frame in presentation order, ticks. The
+    shape an ffprobe packet dump reduces to; normalize-ts can repair a
+    non-monotonic log first."""
+    rate = 90000
+    entries = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "rate":
+                rate = int(parts[1])
+                continue
+            entries.append((int(parts[0]), int(parts[1])))
+    return entries, rate
+
+
 @dataclasses.dataclass
 class StreamTsState:
     """normalize_ts.cpp per-stream monotonic PTS rewrite (:171-188,438-467)."""

@@ -32,6 +32,7 @@ class FlagState:
     audio_in: str = ""
     audio_out: str = ""
     audio_pts_in: str = ""     # sidecar packet log: close PTS gaps with silence
+    video_pts_in: str = ""     # sidecar frame log: VFR/telecine durations
     audio_stream_index: int = 0
     video_stream_index: int = 0
 
@@ -280,6 +281,10 @@ COMPOSITE_HELP = """\
 -audio-pts-in <file>         audio packet log '<pts_samples> <nsamples>'
                              per line; silence pad-fills PTS gaps
                              (A/V master-clock repair, reference :1892-1915)
+-video-pts-in <file>         frame log: optional 'rate <hz>' line then
+                             '<pts> <duration>' ticks per frame; VFR/telecine
+                             sources render each frame for its own duration
+                             (the duration-map role, reference :1641-1647)
 -tvstd <pal|ntsc>            raster/timing preset
 -vhs                         VHS artifact emulation preset
 -vhs-hifi <0|1>              Hi-Fi vs linear audio track (default on)
@@ -455,6 +460,8 @@ def parse_composite_flags(argv: Sequence[str], gen2: bool = False) -> FlagState:
             st.audio_out = take()
         elif a == "audio-pts-in":
             st.audio_pts_in = take()
+        elif a == "video-pts-in":
+            st.video_pts_in = take()
         elif a == "seed":
             st.seed = int(take())
         elif a == "vhs-speed":

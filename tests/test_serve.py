@@ -1,0 +1,61 @@
+"""Daemon mode: `cvsim serve` + `cvsim -via <sock>` round-trip."""
+
+import json
+import os
+import threading
+
+import numpy as np
+
+from cvsim_tpu.cli import serve
+from cvsim_tpu.cli.main import main
+from tests.test_cli import make_clip, read_all
+
+
+def test_serve_roundtrip(tmp_path):
+    sock = str(tmp_path / "cvsim.sock")
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out_direct = str(tmp_path / "direct.y4m")
+    out_served = str(tmp_path / "served.y4m")
+
+    t = threading.Thread(
+        target=serve.run_serve,
+        args=(["-socket", sock, "-one-shot"],), daemon=True)
+    t.start()
+    for _ in range(200):
+        if os.path.exists(sock):
+            break
+        threading.Event().wait(0.05)
+    assert os.path.exists(sock)
+
+    argv = ["posterize", "-i", src, "-o", out_served, "-width", "64",
+            "-threshhold", "2"]
+    rc = main(["-via", sock] + argv)
+    assert rc == 0
+    t.join(timeout=30)
+
+    rc = main(["posterize", "-i", src, "-o", out_direct, "-width", "64",
+               "-threshhold", "2"])
+    assert rc == 0
+
+    _, served = read_all(out_served)
+    _, direct = read_all(out_direct)
+    assert len(served) == len(direct) > 0
+    for (sy, su, sv), (dy, du, dv) in zip(served, direct):
+        np.testing.assert_array_equal(sy, dy)
+        np.testing.assert_array_equal(su, du)
+        np.testing.assert_array_equal(sv, dv)
+
+
+def test_via_reports_unknown_command(tmp_path):
+    sock = str(tmp_path / "cvsim.sock")
+    t = threading.Thread(
+        target=serve.run_serve,
+        args=(["-socket", sock, "-one-shot"],), daemon=True)
+    t.start()
+    for _ in range(200):
+        if os.path.exists(sock):
+            break
+        threading.Event().wait(0.05)
+    rc = main(["-via", sock, "definitely-not-a-command"])
+    assert rc == 1
+    t.join(timeout=30)
