@@ -60,8 +60,10 @@ def tpu_fields_per_sec() -> float:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+    # NO persistent compile cache here: on the tunneled backend a
+    # cache-deserialized executable's first execution is pathological
+    # (minutes), while a fresh remote compile runs immediately — r02's
+    # "278.7s compile+first run" was that stall (docs/STATUS.md).
 
     from cvsim_tpu.config import CompositeConfig, VHSSpeed
     from cvsim_tpu.models import yiq
@@ -84,17 +86,27 @@ def tpu_fields_per_sec() -> float:
     # element to be computed (no dead-code elimination) while keeping D2H to
     # 4 bytes — this dev environment tunnels the TPU, so bulk D2H bandwidth
     # is not representative of production hosts.
-    reduce_out = jax.jit(lambda o: o.astype(jnp.int32).sum())
     keys = jax.random.split(key, 16)
 
+    @jax.jit
+    def chain_sum(rgb_in, fno, par, k):
+        out = yiq.composite_layer_rgb_auto(rgb_in, fno, par, k, cfg=cfg)
+        return out.astype(jnp.int32).sum()
+
+    # ONE program, AOT-compiled: the lazy jit-dispatch path defers the
+    # remote program load to the first fetch, which is pathological on
+    # tunneled hosts (50-400s; round-3 stall diagnosis) — r02's "278.7s
+    # compile" was mostly that stall, not compile.
+    t0 = time.time()
+    compiled = chain_sum.lower(rgb, fieldno, parity, keys[0]).compile()
+    print(f"[bench] compile: {time.time()-t0:.1f}s", file=sys.stderr)
+
     def run_one(k):
-        out = yiq.composite_layer_rgb_auto(rgb, fieldno, parity, keys[k],
-                                           cfg=cfg)
-        return reduce_out(out)
+        return compiled(rgb, fieldno, parity, keys[k])
 
     t0 = time.time()
     int(run_one(0))
-    print(f"[bench] compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"[bench] first run+fetch: {time.time()-t0:.1f}s", file=sys.stderr)
 
     # sustained throughput: K batches dispatched back-to-back (async) so the
     # per-call RPC latency pipelines away, as in the streaming pipelines
@@ -155,9 +167,12 @@ def _parse_phases(stderr_text: str) -> dict:
     """Parse CVSIM_PHASES=1 lines: {name: {"t":..., "proc_age":..., ...}}."""
     out = {}
     for line in stderr_text.splitlines():
-        if not line.startswith("[phase] "):
+        # the CLI's progress printer emits "Output field N " with no
+        # newline, so a phase line can land mid-line — find, not startswith
+        at = line.find("[phase] ")
+        if at < 0:
             continue
-        parts = line.split()
+        parts = line[at:].split()
         name = parts[1]
         kv = {}
         for p in parts[2:]:

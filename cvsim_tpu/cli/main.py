@@ -19,13 +19,25 @@ from cvsim_tpu import presets
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache: full-chain TPU compiles are
-    expensive (minutes through a remote-compile service); cache them."""
+    """Persistent XLA compilation cache policy.
+
+    On tunneled/remote-compile backends (axon) the cache is actively
+    HARMFUL and stays off: executables deserialized from the local cache
+    take a pathological first-execution path in the device client
+    (measured 300->590+s per process vs ~7s for a fresh remote compile
+    that leaves the program resident server-side; docs/STATUS.md round-3
+    stall diagnosis, runs cli300a/b vs cli300c). Elsewhere (real local
+    TPU hosts, CPU) the cache behaves normally and is enabled. An
+    explicit CVSIM_XLA_CACHE always wins.
+    """
     import jax
 
-    path = os.environ.get(
-        "CVSIM_XLA_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "cvsim_tpu_xla"))
+    path = os.environ.get("CVSIM_XLA_CACHE")
+    if path is None:
+        if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+            return
+        path = os.path.join(os.path.expanduser("~"), ".cache",
+                            "cvsim_tpu_xla")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
 

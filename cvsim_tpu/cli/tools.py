@@ -7,6 +7,7 @@ where the tool is stateful) -> RGB -> Y4M at field rate.
 
 from __future__ import annotations
 
+import os
 import sys
 from fractions import Fraction
 
@@ -345,12 +346,25 @@ def run_scanimate(argv, batch: int = 16):
     from functools import partial
 
     @partial(jax.jit, static_argnums=(2,))
-    def fnb(frames, fieldnos, fld):
+    def fnb_jit(frames, fieldnos, fld):
         def one(f, fno):
             r = ops.scanimate_field(f, args.height, args.width, fld, fno,
                                     input_ntsc=input_ntsc)
             return jnp.clip(r, 0, 255).astype(jnp.uint8)
         return jax.vmap(one)(frames, fieldnos)
+
+    compiled = {}
+
+    def fnb(frames, fieldnos, fld):
+        # AOT lower().compile() per (shape, fld): the lazy jit-call path
+        # defers the remote program load to the first fetch, which is
+        # pathological on tunneled hosts (docs/STATUS.md stall diagnosis)
+        key = (frames.shape, fld)
+        fn = compiled.get(key)
+        if fn is None:
+            fn = fnb_jit.lower(frames, fieldnos, fld).compile()
+            compiled[key] = fn
+        return fn(frames, fieldnos)
 
     prev = {"frame": None}
 
@@ -620,33 +634,66 @@ def run_normalize_ts(argv):
     is rewritten monotonic by timing.StreamTsState (backward jumps lifted,
     forward jumps clamped to -maxfwd ticks) and written to `-pts-out`.
     Video frames (stream 0 packets) copy through unchanged. Without
-    -pts-in, Y4M frames are implicitly monotonic and this is a
-    remux/validation pass."""
+    -pts-in, a container input's OWN packet timestamps are demuxed
+    directly (cvsim-av decode -pkt-log — the reference reads them off
+    av_read_frame, normalize_ts.cpp:430-436); a Y4M input's frames are
+    implicitly monotonic and this is a remux/validation pass."""
+    import tempfile
+
+    from cvsim_tpu.host import ffmpeg_pipe
+
     args = _ToolArgs(argv, extra={"program": (int, "program"),
                                   "maxfwd": (int, "maxfwd"),
                                   "pts-in": (str, "pts_in"),
                                   "pts-out": (str, "pts_out")})
     maxfwd = args.extra.get("maxfwd", 0)
-    packets = None
-    if "pts_in" in args.extra:
-        packets = []
-        with open(args.extra["pts_in"]) as f:
+
+    def read_pkt_log(path):
+        pkts = []
+        with open(path) as f:
             for line in f:
                 parts = line.split()
                 if not parts:
                     continue
                 sidx, pts = (("0", parts[0]) if len(parts) == 1
                              else (parts[0], parts[1]))
-                packets.append((int(sidx),
-                                None if pts == "none" else int(pts)))
+                pkts.append((int(sidx),
+                             None if pts == "none" else int(pts)))
+        return pkts
 
-    with open(args.inputs[0], "rb") as f, open(args.output, "wb") as out:
-        r = y4m.Y4MReader(f)
-        w = y4m.Y4MWriter(out, r.header)
-        n = 0
-        for yf, uf, vf in r:
-            w.write(yf, uf, vf)
-            n += 1
+    packets = None
+    if "pts_in" in args.extra:
+        packets = read_pkt_log(args.extra["pts_in"])
+
+    in_path = args.inputs[0]
+    auto_log = None
+    if (packets is None and not in_path.endswith(".y4m")
+            and ffmpeg_pipe.av_tool() is not None):
+        fd, auto_log = tempfile.mkstemp(prefix="cvsim_pts_", suffix=".log")
+        os.close(fd)
+
+    n = 0
+    with open(args.output, "wb") as out:
+        if auto_log is not None:
+            reader, proc = ffmpeg_pipe.open_video_reader(
+                in_path, pkt_log=auto_log)
+            w = y4m.Y4MWriter(out, reader.header)
+            for yf, uf, vf in reader:
+                w.write(yf, uf, vf)
+                n += 1
+            proc.stdout.close()
+            proc.wait()
+            packets = read_pkt_log(auto_log)
+            os.unlink(auto_log)
+            if "pts_out" not in args.extra:
+                args.extra["pts_out"] = args.output + ".pts"
+        else:
+            reader, cleanup = ffmpeg_pipe.resolve_video_input(in_path)
+            w = y4m.Y4MWriter(out, reader.header)
+            for yf, uf, vf in reader:
+                w.write(yf, uf, vf)
+                n += 1
+            cleanup()
 
     if packets is not None:
         states: dict[int, timing.StreamTsState] = {}
@@ -656,7 +703,8 @@ def run_normalize_ts(argv):
                 sidx, timing.StreamTsState(max_forward=maxfwd))
             p = st.rewrite(pts)
             lines.append(f"{sidx} {'none' if p is None else p}")
-        out_path = args.extra.get("pts_out", args.extra["pts_in"] + ".norm")
+        out_path = (args.extra["pts_out"] if "pts_out" in args.extra
+                    else args.extra["pts_in"] + ".norm")
         with open(out_path, "w") as f:
             f.write("\n".join(lines) + "\n")
         print(f"{n} frames remuxed; {len(packets)} packet timestamps "
