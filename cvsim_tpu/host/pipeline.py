@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 import os
+import tempfile
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -342,6 +343,29 @@ class CompositePipeline:
         clock = timing.FrameClock(fps, self._field_rate,
                                   log=frame_log or None,
                                   log_rate=frame_log_rate)
+        # Streaming VFR: cvsim-av decode -ts stamps each FRAME marker with
+        # the container's real (pts, duration) at 90 kHz ("Xt=p:d",
+        # y4m.Y4MReader.frame_params) — the duration map arrives WITH the
+        # frame, so VFR/telecine sources get per-frame field targeting on
+        # direct container ingest, no sidecar log needed (the reference's
+        # reordered_opaque duration carry, ffmpeg_to_composite.cpp:
+        # 1641-1647).  Disabled under checkpointing: a resumed run cannot
+        # recover the skipped frames' timestamps, and cadence must match
+        # the original run.
+        use_inband_ts = frame_log is None and ckpt_path is None
+
+        def push_inband_ts(params):
+            xt = params.get("Xt")
+            if xt is None:
+                return
+            p, _, d = xt.partition(":")
+            pts, dur = int(p), max(1, int(d))
+            if clock.log is None:
+                clock.log = []
+            if pts < 0:    # container carried no pts: extend by cadence
+                pts = (clock.log[-1][0] + clock.log[-1][1]
+                       if clock.log else 0)
+            clock.log.append((pts, dur))
 
         out_fps = (self._field_rate / 2 if out.interlaced_output
                    else self._field_rate)
@@ -458,6 +482,8 @@ class CompositePipeline:
                         # soft stop: finish queued batches, write the
                         # trailer (reference soft-SIGINT, :62-66,2120-2124)
                         break
+                    if use_inband_ts:
+                        push_inband_ts(reader.frame_params)
                     frame_idx = local_idx + skip_n
                     t = clock.seconds(frame_idx)
                     if cfg.transcode_end >= 0 and t >= cfg.transcode_end:
@@ -632,8 +658,27 @@ class CompositePipeline:
         acfg = cfg.audio
         from cvsim_tpu.host import ffmpeg_pipe
 
-        samples, rate = ffmpeg_pipe.resolve_audio_input(
-            in_path, acfg.rate, acfg.channels)
+        # Container ingest without a user-supplied packet log: capture the
+        # demuxer's own audio packet timestamps (cvsim-av decode-audio
+        # -audio-pkt-log) so PTS gaps get silence-filled on the A/V master
+        # clock automatically — the reference's in-loop gap fill
+        # (ffmpeg_to_composite.cpp:1892-1915) from real container ingest.
+        auto_log = None
+        if (pts_packets is None and not in_path.endswith(".wav")
+                and ffmpeg_pipe.av_tool() is not None):
+            fd, auto_log = tempfile.mkstemp(prefix="cvsim_apts_",
+                                            suffix=".log")
+            os.close(fd)
+        try:
+            samples, rate = ffmpeg_pipe.resolve_audio_input(
+                in_path, acfg.rate, acfg.channels, pkt_log=auto_log)
+            if auto_log is not None:
+                log_rate, pkts = timing.read_audio_pts_log(auto_log)
+                if pkts:
+                    pts_packets = (log_rate, pkts)
+        finally:
+            if auto_log is not None:
+                os.unlink(auto_log)
         if pts_packets:
             log_rate, pkts = pts_packets
             samples = _audio_pad_fill(samples, pkts, rate,

@@ -145,6 +145,25 @@ class FrameClock:
         return (self._to_fields(p), self._to_fields(p + d))
 
 
+def read_audio_pts_log(path: str):
+    """Parse an `-audio-pts-in`-format packet log: optional `rate <hz>`
+    first line (sample clock, None = stream rate), then one
+    `<pts_samples|none> <nsamples>` line per audio packet in stream
+    order. Returns (rate, [(pts, nsamples), ...])."""
+    rate, pkts = None, []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "rate":
+                rate = int(parts[1])
+                continue
+            pkts.append((None if parts[0] == "none" else int(parts[0]),
+                         int(parts[1])))
+    return rate, pkts
+
+
 def read_frame_pts_log(path: str):
     """Parse a `-video-pts-in` sidecar frame log: optional `rate <hz>` first
     line (ticks/second, default 90000 — the MPEG-TS clock), then one

@@ -87,6 +87,10 @@ class Y4MReader:
         self.f = f
         self.header = parse_header(self._read_line())
         self.frame_index = 0
+        # FRAME-marker parameters of the most recently yielded frame
+        # (e.g. cvsim-av decode -ts emits in-band container timestamps as
+        # "Xt=<pts90k>:<dur90k>"), {} when the marker carried none
+        self.frame_params: dict = {}
 
     def _read_line(self) -> bytes:
         buf = bytearray()
@@ -109,12 +113,19 @@ class Y4MReader:
                 return
             if not line.startswith(b"FRAME"):
                 raise ValueError(f"bad frame marker {line!r}")
+            self.frame_params = {}
             if not line.endswith(b"\n"):
                 # frame parameters present; consume to newline
+                params = bytearray(line[5:])
                 while True:
                     c = self.f.read(1)
                     if not c or c == b"\n":
                         break
+                    params += c
+                for tok in bytes(params).split():
+                    k, sep, v = tok.partition(b"=")
+                    if sep:
+                        self.frame_params[k.decode()] = v.decode()
             data = self.f.read(ybytes + 2 * cbytes)
             if len(data) < ybytes + 2 * cbytes:
                 return

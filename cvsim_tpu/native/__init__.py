@@ -19,6 +19,35 @@ _LIB = os.path.join(_DIR, "libhostio.so")
 _lock = threading.Lock()
 _lib = None
 
+_AV_SRC = os.path.join(_DIR, "avio.cpp")
+_AV_BIN = os.path.join(_DIR, "cvsim-av")
+_AV_LIBS = ["-lavformat", "-lavcodec", "-lavutil", "-lswscale",
+            "-lswresample"]
+_av_lock = threading.Lock()
+_av_state: list = []  # [path | None] once resolved
+
+
+def build_av_tool() -> str | None:
+    """Path to the cvsim-av container-I/O binary (native/avio.cpp), built
+    on first use against the system FFmpeg libraries.  None when g++ or
+    the libav* dev libraries are unavailable (the framework then falls
+    back to an `ffmpeg` binary on PATH, or native Y4M/WAV only)."""
+    with _av_lock:
+        if _av_state:
+            return _av_state[0]
+        path = None
+        try:
+            if (not os.path.exists(_AV_BIN) or os.path.getmtime(_AV_BIN)
+                    < os.path.getmtime(_AV_SRC)):
+                subprocess.run(
+                    ["g++", "-O2", "-o", _AV_BIN, _AV_SRC] + _AV_LIBS,
+                    check=True, capture_output=True)
+            path = _AV_BIN
+        except (OSError, subprocess.CalledProcessError):
+            path = None
+        _av_state.append(path)
+        return path
+
 
 class _HsyncDcStateStruct(ctypes.Structure):
     _fields_ = [

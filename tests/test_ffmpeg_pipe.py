@@ -32,6 +32,9 @@ def with_ffmpeg_stub(tmp_path, monkeypatch):
     sh.chmod(sh.stat().st_mode | stat.S_IEXEC)
     monkeypatch.setenv("PATH", f"{sh.parent}{os.pathsep}{os.environ['PATH']}")
     getattr(ffmpeg_pipe.have_ffmpeg, 'cache_clear', lambda: None)()
+    # force the ffmpeg-binary fallback: when the native cvsim-av backend
+    # builds (test_native_av.py covers it), it would otherwise win
+    monkeypatch.setattr(ffmpeg_pipe, "av_tool", lambda: None)
     return sh
 
 
