@@ -206,9 +206,14 @@ def e2e_fields_per_sec() -> dict:
         t0 = time.time()
         r = subprocess.run(cmd, check=True, cwd=REPO, env=env,
                            stdout=subprocess.DEVNULL,
-                           stderr=subprocess.PIPE, text=True)
+                           stderr=subprocess.PIPE, text=True, timeout=1800)
         wall = time.time() - t0
         ph = _parse_phases(r.stderr)
+        if "run_video_done" not in ph:
+            print("[bench] e2e: phase lines missing; stderr tail:\n"
+                  + r.stderr[-2000:], file=sys.stderr)
+            return {"overall": 600 / wall, "startup_s": -1.0,
+                    "first_fetch_s": -1.0, "steady": 600 / wall}
         fields = int(ph["run_video_done"]["fields"])
         first_gop = int(ph["first_fetch_done"]["fields"])
         steady_dt = ph["run_video_done"]["t"] - ph["first_fetch_done"]["t"]
@@ -294,28 +299,40 @@ def main():
         result["value"] = round(tpu_fps, 2)
         result["vs_baseline"] = round(tpu_fps / base_fps, 2)
     if mode in ("both", "--e2e"):
-        link = link_mb_per_sec()
-        print(f"[bench] link: {link:.1f} MB/s aggregate "
-              f"(wire ceiling ~{link/0.59:.0f} fields/s at 0.59 MB/field)",
-              file=sys.stderr)
-        e2e = e2e_fields_per_sec()
-        daemon = e2e_daemon_fields_per_sec()
-        print(f"[bench] e2e CLI: {e2e['overall']:.1f} fields/s wall one-shot "
-              f"({e2e['steady']:.1f} steady in-process, "
-              f"{daemon:.1f} via warm daemon) "
-              f"vs scalar baseline {e2e['overall']/base_fps:.2f}x one-shot / "
-              f"{daemon/base_fps:.2f}x daemon", file=sys.stderr)
-        result["e2e_fields_per_sec"] = round(e2e["overall"], 2)
-        result["e2e_startup_s"] = round(e2e["startup_s"], 1)
-        result["e2e_first_fetch_s"] = round(e2e["first_fetch_s"], 1)
-        result["e2e_steady_fields_per_sec"] = round(e2e["steady"], 2)
-        result["e2e_daemon_fields_per_sec"] = round(daemon, 2)
-        result["link_mb_per_sec"] = round(link, 1)
-        if mode == "--e2e":
+        # the e2e rows ride the shared TPU tunnel, which has hour-scale
+        # congestion episodes (transfers drop to ~0.1 MB/s); never let a
+        # stalled CLI run leave the driver without the JSON line
+        try:
+            _run_e2e(result, base_fps)
+        except Exception as e:
+            print(f"[bench] e2e section failed ({type(e).__name__}: {e}); "
+                  "device row stands alone", file=sys.stderr)
+        if mode == "--e2e" and "value" not in result:
             result["metric"] = "480i_e2e_cli_fields_per_sec_full_vhs_ep_1chip"
-            result["value"] = round(e2e["overall"], 2)
-            result["vs_baseline"] = round(e2e["overall"] / base_fps, 2)
+            result["value"] = result.get("e2e_fields_per_sec", 0.0)
+            result["vs_baseline"] = (round(result["value"] / base_fps, 2)
+                                     if result["value"] else 0.0)
     print(json.dumps(result))
+
+
+def _run_e2e(result, base_fps):
+    link = link_mb_per_sec()
+    print(f"[bench] link: {link:.1f} MB/s aggregate "
+          f"(wire ceiling ~{link/0.59:.0f} fields/s at 0.59 MB/field)",
+          file=sys.stderr)
+    e2e = e2e_fields_per_sec()
+    result["e2e_fields_per_sec"] = round(e2e["overall"], 2)
+    result["e2e_startup_s"] = round(e2e["startup_s"], 1)
+    result["e2e_first_fetch_s"] = round(e2e["first_fetch_s"], 1)
+    result["e2e_steady_fields_per_sec"] = round(e2e["steady"], 2)
+    result["link_mb_per_sec"] = round(link, 1)
+    daemon = e2e_daemon_fields_per_sec()
+    print(f"[bench] e2e CLI: {e2e['overall']:.1f} fields/s wall one-shot "
+          f"({e2e['steady']:.1f} steady in-process, "
+          f"{daemon:.1f} via warm daemon) "
+          f"vs scalar baseline {e2e['overall']/base_fps:.2f}x one-shot / "
+          f"{daemon/base_fps:.2f}x daemon", file=sys.stderr)
+    result["e2e_daemon_fields_per_sec"] = round(daemon, 2)
 
 
 if __name__ == "__main__":

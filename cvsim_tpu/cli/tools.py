@@ -91,21 +91,42 @@ class _ToolArgs:
                 self.per_input[-1] = cur
 
 
+def _open_video_inputs(paths):
+    """(readers, cleanups) for a list of video paths: native Y4M, or any
+    container through the cvsim-av / ffmpeg backend (the reference's tools
+    all demux through libav; ffmpeg_posterize.cpp:789-813 cost class)."""
+    from cvsim_tpu.host import ffmpeg_pipe
+
+    readers, cleanups = [], []
+    for p in paths:
+        r, c = ffmpeg_pipe.resolve_video_input(p)
+        readers.append(r)
+        cleanups.append(c)
+    return readers, cleanups
+
+
+def _open_video_output(path):
+    """(stream, finalize) for a video output path: plain Y4M file, or an
+    H.264 container encode through the backend."""
+    from cvsim_tpu.host import ffmpeg_pipe
+
+    return ffmpeg_pipe.resolve_video_output(path)
+
+
 def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
     """Drive input frames at the output field rate; per_field(frame(s),
     fieldno) -> RGB [H, W, 3] output frame. With multi=True all inputs
     advance in lockstep and per_field receives the list of current frames
     (the reference's layered InputFile loop)."""
     paths = args.inputs if multi else args.inputs[:1]
-    fins = [open(p, "rb") for p in paths]
-    readers = [y4m.Y4MReader(f) for f in fins]
+    readers, in_cleanups = _open_video_inputs(paths)
     fpss = [r.header.fps for r in readers]
     out_hdr = y4m.Y4MHeader(
         width=args.width, height=args.height, fps=args.field_rate,
         interlacing="p", aspect="4:3",
         colorspace="422" if args.use_422 else "420jpeg")
-    fout = open(args.output, "wb")
-    writer = y4m.Y4MWriter(fout, out_hdr)
+    out_stream, out_finalize = _open_video_output(args.output)
+    writer = y4m.Y4MWriter(out_stream, out_hdr)
 
     n = len(readers)
     current = 0
@@ -146,9 +167,9 @@ def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
         print(f"\x0dOutput field {current} ", end="", file=sys.stderr)
         current += 1
     print("", file=sys.stderr)
-    for f in fins:
-        f.close()
-    fout.close()
+    for c in in_cleanups:
+        c()
+    out_finalize()
     return 0
 
 
@@ -162,15 +183,14 @@ def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
     field — the gen-1 GOP treatment for the compute-heavy sibling tools
     (VERDICT r2 #2)."""
     paths = args.inputs if multi else args.inputs[:1]
-    fins = [open(p, "rb") for p in paths]
-    readers = [y4m.Y4MReader(f) for f in fins]
+    readers, in_cleanups = _open_video_inputs(paths)
     fpss = [r.header.fps for r in readers]
     out_hdr = y4m.Y4MHeader(
         width=args.width, height=args.height, fps=args.field_rate,
         interlacing="p", aspect="4:3",
         colorspace="422" if args.use_422 else "420jpeg")
-    fout = open(args.output, "wb")
-    writer = y4m.Y4MWriter(fout, out_hdr)
+    out_stream, out_finalize = _open_video_output(args.output)
+    writer = y4m.Y4MWriter(out_stream, out_hdr)
 
     def flush(buf_frames, buf_fields):
         outs = per_batch(np.stack(buf_frames), buf_fields)
@@ -214,9 +234,9 @@ def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
     if buf_frames:
         flush(buf_frames, buf_fields)
     print("", file=sys.stderr)
-    for f in fins:
-        f.close()
-    fout.close()
+    for c in in_cleanups:
+        c()
+    out_finalize()
     return 0
 
 
@@ -247,8 +267,10 @@ def run_colormap(argv):
     if len(args.inputs) < 2:
         print("colormap needs -i <map.y4m> -i <video.y4m>", file=sys.stderr)
         return 1
-    with open(args.inputs[0], "rb") as f:
-        my, mu, mv = next(iter(y4m.Y4MReader(f)))
+    map_readers, map_cleanups = _open_video_inputs(args.inputs[:1])
+    my, mu, mv = next(iter(map_readers[0]))
+    for c in map_cleanups:
+        c()
     if mu is None:
         mu = np.full_like(my, 128)
         mv = mu
@@ -530,15 +552,14 @@ def run_frameblend(argv):
     if gamma > 1:
         gdec, genc = restore.gamma_tables(gamma)
 
-    fin = open(args.inputs[0], "rb")
-    reader = y4m.Y4MReader(fin)
+    (reader,), (in_cleanup,) = _open_video_inputs(args.inputs[:1])
     fps = reader.header.fps
     out_hdr = y4m.Y4MHeader(
         width=args.width, height=args.height, fps=Fraction(out_rate),
         interlacing="p", aspect="4:3",
         colorspace="422" if args.use_422 else "420jpeg")
-    fout = open(args.output, "wb")
-    writer = y4m.Y4MWriter(fout, out_hdr)
+    out_stream, out_finalize = _open_video_output(args.output)
+    writer = y4m.Y4MWriter(out_stream, out_hdr)
 
     it = iter(reader)
     frames = []        # RGB numpy frames
@@ -575,8 +596,8 @@ def run_frameblend(argv):
         if eof and current > (frame_t[-1] if frame_t else 0) + 1:
             break
     print("", file=sys.stderr)
-    fin.close()
-    fout.close()
+    in_cleanup()
+    out_finalize()
     return 0
 
 
@@ -673,7 +694,8 @@ def run_normalize_ts(argv):
         os.close(fd)
 
     n = 0
-    with open(args.output, "wb") as out:
+    out, out_finalize = _open_video_output(args.output)
+    try:
         if auto_log is not None:
             reader, proc = ffmpeg_pipe.open_video_reader(
                 in_path, pkt_log=auto_log)
@@ -694,6 +716,8 @@ def run_normalize_ts(argv):
                 w.write(yf, uf, vf)
                 n += 1
             cleanup()
+    finally:
+        out_finalize()
 
     if packets is not None:
         states: dict[int, timing.StreamTsState] = {}

@@ -235,6 +235,32 @@ def test_normalize_ts_container_ingest(tmp_path):
         assert len(list(y4m.Y4MReader(f))) == 6
 
 
+def test_sibling_tool_container_io(tmp_path):
+    """Sibling tools take containers on both ends (the reference tools all
+    link libav): posterize .mkv -> .mkv, values still quantized."""
+    from cvsim_tpu.cli.main import main
+
+    tool = ffmpeg_pipe.av_tool()
+    src = str(tmp_path / "in.mkv")
+    encode(tool, src, smooth_frames(3, w=128, h=96), extra=["-crf", "10"])
+    out = str(tmp_path / "out.mkv")
+    rc = main(["posterize", "-i", src, "-o", out,
+               "-width", "128", "-threshhold", "6"])
+    assert rc == 0
+    info = ffmpeg_pipe.probe(out)
+    v = [s for s in info["streams"] if s["type"] == "video"][0]
+    assert v["codec"] == "h264" and v["width"] == 128
+    reader, proc = ffmpeg_pipe.open_video_reader(out)
+    dec = list(reader)
+    proc.stdout.close()
+    proc.wait()
+    assert len(dec) >= 5   # 3 frames -> 6 fields at 59.94 (EOF cadence)
+    # strong 2-bit quantization survives h264 at crf 18: most luma energy
+    # sits on coarse levels (exact AND-mask equality can't survive lossy
+    # re-encode, so check the histogram collapses)
+    assert len(np.unique(dec[0][0] & 0xC0)) <= 4
+
+
 def test_run_audio_container_master_clock(tmp_path):
     """run_audio on a container input captures the demuxer's audio packet
     log automatically: a PTS gap in the container comes out as silence on
