@@ -512,16 +512,16 @@ def composite_layer_rgb_fused(
         interpret=interpret,
     )(rf, gf, bf, xi_col, keys_ab, tts, ds)
 
-    # head switching on the encoded luma (XLA, windowed) — on the REAL rows
-    # so the shift schedule matches the stage-by-stage path exactly
+    # head switching on the encoded luma (XLA, windowed, applied IN PLACE
+    # on the padded plane: only the <=64-line window moves through HBM —
+    # no full-plane crop/astype/re-pad hop between the kernel halves)
     if cfg.vhs_head_switching:
-        y_hs = yiq.head_switching_stage(
-            y_enc[:, :l, :w].astype(jnp.int32), field_parity, keys[1],
+        y_enc = yiq.head_switching_padded(
+            y_enc, l, w, field_parity, keys[1],
             point=cfg.vhs_head_switching_point,
             phase=cfg.vhs_head_switching_phase,
             phase_noise=cfg.vhs_head_switching_phase_noise,
-            ntsc=cfg.ntsc, fill=0, dtype=dtype)
-        y_enc = padl(padw(y_hs.astype(dtype)))
+            ntsc=cfg.ntsc, fill=0.0)
 
     do_vblend = cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc
     if single_tile:

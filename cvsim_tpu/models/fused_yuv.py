@@ -498,13 +498,14 @@ def composite_video_process_fused(
     )(yf, uf, vf, xi_col, keys_ab, tts, ds, eu)
 
     if cfg.vhs_head_switching:
-        y_hs = yiq_mod.head_switching_stage(
-            y_enc[:, :l, :w].astype(jnp.int32), field_parity, keys[1],
+        # windowed in-place head switch on the padded plane (no full-plane
+        # crop/re-pad hop; see yiq.head_switching_padded)
+        y_enc = yiq_mod.head_switching_padded(
+            y_enc, l, w, field_parity, keys[1],
             point=cfg.vhs_head_switching_point,
             phase=cfg.vhs_head_switching_point,   # gen-1: one phase for x and y
             phase_noise=cfg.vhs_head_switching_phase_noise,
-            ntsc=cfg.ntsc, fill=16, dtype=dtype)
-        y_enc = padl(padw(y_hs.astype(dtype), w, wp))
+            ntsc=cfg.ntsc, fill=16.0)
 
     out_shapes = (jax.ShapeDtypeStruct((b, lp, wp), dtype),
                   jax.ShapeDtypeStruct((b, lp, wp2), dtype),

@@ -357,6 +357,99 @@ def head_switching_stage(
     return jax.vmap(one_field)(y, shifts, w0)
 
 
+def _head_switch_geometry(field_parity, keys, *, point, phase, phase_noise,
+                          twidth, ntsc, dtype):
+    """(ishif, l_start) per field — the C fmod/unsigned-cast geometry of
+    head_switching_stage, factored out for the windowed variant."""
+    tlines = 262.5 if ntsc else 312.5
+    t = twidth * tlines
+    b = field_parity.shape[0]
+    if phase_noise != 0:
+        noise = (uniform_pm1_per_field(keys, dtype)
+                 * jnp.asarray(phase_noise, dtype))
+    else:
+        noise = jnp.zeros((b,), dtype)
+
+    def c_wrap_u32(v):
+        f = v - jnp.trunc(v)
+        return jnp.trunc(f * t).astype(jnp.int32).astype(jnp.uint32)
+
+    p_y = c_wrap_u32(point + noise)
+    p_x = c_wrap_u32(phase + noise)
+    vis_off = (262 - 240) * 2 if ntsc else (312 - 288) * 2
+    y_start = ((p_y // np.uint32(twidth)).astype(jnp.int32) * 2
+               + field_parity.astype(jnp.int32) - vis_off)
+    x_pos = (p_x % np.uint32(twidth)).astype(jnp.int32)
+    ishif = jnp.where(x_pos >= twidth // 2, x_pos - twidth, x_pos)
+    l_start = (y_start - field_parity.astype(jnp.int32)) // 2
+    return ishif, l_start
+
+
+def head_switching_padded(
+    y_pad, l: int, w: int, field_parity, keys, *,
+    point: float, phase: float, phase_noise: float,
+    ntsc: bool = True, fill: float = 0.0,
+):
+    """Head switching applied in place on a PADDED [B, Lp, Wp] float plane.
+
+    Same math as head_switching_stage (ffmpeg_ntsc.cpp:1646-1713), but the
+    fused-chain fast path: the ≤64-line switch window is the only data
+    that moves — no full-plane crop/astype/re-pad between the two Pallas
+    kernel halves (round-2 weak #4: that hop cost ~25-30% at 1080i) — and
+    the shift-decay scan runs a fixed ~128 steps instead of one step per
+    scanline. Rows/cols outside the window (including the padding) pass
+    through untouched; rotation only permutes integral sample values, so
+    the result is bit-identical to the staged int path.
+    """
+    b, lp, wp = y_pad.shape
+    twidth = w + w // 10
+    dtype = y_pad.dtype
+    # geometry noise math runs in f32 regardless of the plane dtype (the
+    # stage path always used jnp.float32 here; a numpy dtype object would
+    # also break uniform_pm1_per_field's `dtype(x)` casts)
+    ishif, l_start = _head_switch_geometry(
+        field_parity, keys, point=point, phase=phase,
+        phase_noise=phase_noise, twidth=twidth, ntsc=ntsc,
+        dtype=jnp.float32)
+
+    win = min(64, l)
+    w0 = jnp.clip(l_start + 1, 0, l - win)                        # [B]
+    # applied(k) shift decay for k in [0, KMAX): KMAX bounds the largest
+    # window k (w0 + win - 1 - l_start): l_start >= -(vis_off//2 + 3), so
+    # 128 covers NTSC (-22) and PAL (-24) with margin; larger l_start
+    # clips to zero shift via idx >= 0 exactly like the full schedule
+    KMAX = 128
+
+    def step(carry, k):
+        nxt = jnp.where(k == 0, ishif,
+                        c_div(carry * 7, 8).astype(jnp.int32))
+        return nxt, carry
+
+    _, applied = jax.lax.scan(step, jnp.zeros_like(ishif),
+                              jnp.arange(KMAX, dtype=jnp.int32))
+    applied = applied.T                                            # [B, KMAX]
+    idx = w0[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :] \
+        - l_start[:, None]                                         # [B, win]
+    safe = jnp.clip(idx, 0, KMAX - 1)
+    shifts = jnp.where(idx >= 0,
+                       jnp.take_along_axis(applied, safe, axis=1), 0)
+
+    fill_v = jnp.asarray(fill, dtype)
+
+    def one_field(yf, sf, start):
+        zero = jnp.zeros((), start.dtype)
+        ywin = jax.lax.dynamic_slice(yf, (start, zero), (win, wp))
+        body = ywin[:, :w]
+        padded = jnp.concatenate(
+            [body, jnp.full((win, twidth - w), fill_v, dtype)], axis=1)
+        rotated = roll_rows(padded, sf)[..., :w]
+        rotated = jnp.where(sf[:, None] != 0, rotated, body)
+        new = jnp.concatenate([rotated, ywin[:, w:]], axis=1)
+        return jax.lax.dynamic_update_slice(yf, new, (start, zero))
+
+    return jax.vmap(one_field)(y_pad, shifts, w0)
+
+
 def chroma_dropout_stage(i, q, keys, loss: int):
     """Per-scanline chroma wipe: rand()%100000 < loss (ffmpeg_ntsc.cpp:1891-1901).
     keys: [B] per-field keys."""

@@ -56,6 +56,13 @@ CONFIGS = {
         vhs_head_switching_phase=0.15, vhs_head_switching_phase_noise=0.0,
         video_chroma_noise=22, video_chroma_phase_noise=6,
         video_chroma_loss=100),
+    # nonzero head-switch phase noise: exercises the geometry-noise branch
+    # of the windowed padded head switch (a numpy-vs-jnp dtype bug hid
+    # here once — the other configs all use phase_noise=0)
+    "vhs-hs-phase-noise": CompositeConfig(
+        video_noise=0, emulating_vhs=True, vhs_head_switching=True,
+        vhs_head_switching_point=0.52, vhs_head_switching_phase=0.1,
+        vhs_head_switching_phase_noise=0.08),
     "yc-recomb": CompositeConfig(video_noise=0, video_yc_recombine=2),
     "svideo": CompositeConfig(video_noise=0, emulating_vhs=True,
                               vhs_svideo_out=True),
