@@ -491,7 +491,11 @@ def run_cassette(argv):
     # is already handled because we apply dict.update in argv order.
     cfg = CassetteConfig(**{k: v for k, v in kw.items()
                             if k in CassetteConfig._fields})
-    samples, rate = wavio.read_wav(in_path)
+    from cvsim_tpu.host import ffmpeg_pipe
+
+    # WAV natively; any other container/codec through the backend (the
+    # reference decodes via libav, ffmpeg_cassette.cpp input loop)
+    samples, rate = ffmpeg_pipe.resolve_audio_input(in_path, cfg.rate, 2)
     if rate != cfg.rate:
         from cvsim_tpu.host.pipeline import _resample_sinc
         samples = _resample_sinc(samples, rate, cfg.rate)

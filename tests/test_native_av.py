@@ -261,6 +261,25 @@ def test_sibling_tool_container_io(tmp_path):
     assert len(np.unique(dec[0][0] & 0xC0)) <= 4
 
 
+def test_cassette_container_input(tmp_path):
+    """The cassette tool decodes its audio from a real container."""
+    from cvsim_tpu.cli.main import main
+
+    tool = ffmpeg_pipe.av_tool()
+    sr = 44100
+    t = np.arange(sr // 4) / sr
+    pcm = (np.sin(2 * np.pi * 1000 * t) * 12000).astype(np.int16)
+    wav = str(tmp_path / "a.wav")
+    wavio.write_wav(wav, np.stack([pcm, pcm], 1), sr)
+    src = str(tmp_path / "in.mkv")
+    encode(tool, src, smooth_frames(8), extra=["-wav", wav])
+    out = str(tmp_path / "out.wav")
+    rc = main(["cassette", "-i", src, "-o", out, "-preset", "2", "-mono"])
+    assert rc == 0
+    got, got_rate = wavio.read_wav(out)
+    assert got.shape[0] > 0 and np.abs(got).max() > 500
+
+
 def test_run_audio_container_master_clock(tmp_path):
     """run_audio on a container input captures the demuxer's audio packet
     log automatically: a PTS gap in the container comes out as silence on
