@@ -55,6 +55,46 @@ def baseline_fields_per_sec() -> float:
     return fps
 
 
+def hd1080i_fields_per_sec() -> float:
+    """Fused gen-2 chain at the 1080i stretch raster (1888x540 fields,
+    line-tiled kernels, windowed in-place head switch), B=64."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cvsim_tpu.config import CompositeConfig
+    from cvsim_tpu.models import fused_yiq
+
+    W_HD, L_HD, B_HD = 1888, 540, 64
+    cfg = CompositeConfig(emulating_vhs=True, vhs_head_switching=True,
+                          video_noise=4, video_chroma_noise=16,
+                          video_chroma_phase_noise=4, video_chroma_loss=4)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.integers(0, 255, (B_HD, L_HD, W_HD, 3),
+                                   dtype=np.uint8), jnp.int32)
+    fieldno = jnp.arange(B_HD, dtype=jnp.int32)
+    par = fieldno & 1
+    key = jax.random.PRNGKey(7)
+
+    @jax.jit
+    def run(rgb, fno, par, k):
+        out = fused_yiq.composite_layer_rgb_fused(rgb, fno, par, k, cfg=cfg)
+        return out.astype(jnp.int32).sum()
+
+    c = run.lower(rgb, fieldno, par, key).compile()
+    int(c(rgb, fieldno, par, key))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        sums = [c(rgb, fieldno + j, par, key) for j in range(4)]
+        _ = [int(s) for s in sums]
+        best = min(best, time.time() - t0)
+    fps = 4 * B_HD / best
+    print(f"[bench] 1080i gen-2 fused: {fps:.0f} fields/s "
+          f"({best/4/B_HD/(L_HD*W_HD)*1e9:.2f} ns/px)", file=sys.stderr)
+    return fps
+
+
 def tpu_fields_per_sec() -> float:
     import numpy as np
     import jax
@@ -298,6 +338,12 @@ def main():
               file=sys.stderr)
         result["value"] = round(tpu_fps, 2)
         result["vs_baseline"] = round(tpu_fps / base_fps, 2)
+        try:
+            result["hd1080i_fields_per_sec"] = round(
+                hd1080i_fields_per_sec(), 1)
+        except Exception as e:
+            print(f"[bench] HD row failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
     if mode in ("both", "--e2e"):
         # the e2e rows ride the shared TPU tunnel, which has hour-scale
         # congestion episodes (transfers drop to ~0.1 MB/s); never let a
