@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cvsim_tpu.config import CompositeConfig, NTSC_RATE, iir_alpha
 from cvsim_tpu.models import yiq
-from cvsim_tpu.ops.blocked_iir import _decay_consts
+from cvsim_tpu.ops.blocked_iir import _cascade3_consts, _decay_consts
 from cvsim_tpu.ops.cmath import c_int
 from cvsim_tpu.ops.noise import (
     field_stage_keys,
@@ -62,8 +62,10 @@ def _cdiv(a, b):
     return jnp.trunc(a / b)
 
 
-def _pole(x, T_t, d, y0: float, nb: int):
-    """One causal pole over [L, nb*128] (VMEM-resident blocked matmul)."""
+def _pole(x, cst, y0: float, nb: int):
+    """One causal pole over [L, nb*128] (VMEM-resident blocked matmul).
+    cst = (T_t, d, T3_t, V) — the stacked per-alpha constants."""
+    T_t, d = cst[0], cst[1]
     outs = []
     carry = jnp.full((x.shape[0], 1), y0, x.dtype)
     for b in range(nb):
@@ -74,18 +76,43 @@ def _pole(x, T_t, d, y0: float, nb: int):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _pole3(x, T_t, d, y0: float, nb: int):
-    return _pole(_pole(_pole(x, T_t, d, y0, nb), T_t, d, y0, nb), T_t, d, y0, nb)
+def _pole3(x, cst, y0: float, nb: int):
+    """Three identical poles composed into ONE matmul per block:
+    y3 = T^3 x + (T^2 d) c1 + (T d) c2 + d c3, carries from the last rows
+    of T / T^2 (a third of the MXU work of three sequential _pole passes).
+    Identical op order to ops/blocked_iir.iir_lowpass3_blocked so the XLA
+    stage path stays bit-identical."""
+    _, d, T3_t, D3, VT = cst
+    dc1 = D3[0:1]                          # [1, 128] broadcast rows
+    dc2 = D3[1:2]
+    v12_t = VT[:, :2]                      # [128, 2]
+    dl = d[BLOCK - 1:BLOCK]                # [1] (no scalar extracts)
+    s2 = D3[1:2, BLOCK - 1:BLOCK]          # [1, 1]
+    q1 = D3[0:1, BLOCK - 1:BLOCK]
+    del q1  # c3 comes from yb's last lane (same fl sequence), not rebuilt
+    outs = []
+    c1 = c2 = c3 = jnp.full((x.shape[0], 1), y0, x.dtype)
+    for b in range(nb):
+        xb = x[:, b * BLOCK:(b + 1) * BLOCK]
+        yb = (jnp.dot(xb, T3_t, preferred_element_type=x.dtype)
+              + dc1 * c1 + dc2 * c2 + d * c3)
+        u12 = jnp.dot(xb, v12_t, preferred_element_type=x.dtype)
+        nc1 = u12[:, 0:1] + dl * c1
+        nc2 = u12[:, 1:2] + s2 * c1 + dl * c2
+        c3 = yb[:, BLOCK - 1:BLOCK]
+        c1, c2 = nc1, nc2
+        outs.append(yb)
+    return jnp.concatenate(outs, axis=-1)
 
 
 def _iota_w(wp):
     return jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
 
 
-def _lowpass_writeback(p, T_t, d, delay: int, w: int, wp: int, y0=0.0):
+def _lowpass_writeback(p, cst, delay: int, w: int, wp: int, y0=0.0):
     """3-pole cascade + the reference's delayed in-place writeback:
     out[x] = trunc(f[x+delay]) for x < w-delay, original beyond."""
-    s = _trunc(_pole3(p, T_t, d, y0, wp // BLOCK))
+    s = _trunc(_pole3(p, cst, y0, wp // BLOCK))
     shifted = jnp.roll(s, -delay, axis=-1) if delay else s
     xw = _iota_w(wp)
     out = jnp.where(xw < (w - delay), shifted, p)
@@ -103,7 +130,7 @@ def _mix32_k(x):
 
 
 def _walk_rows_kernel(key_u, row0: int, mag: int, plane_off: int,
-                      w: int, wp: int, tl: int, T_t, d):
+                      w: int, wp: int, tl: int, cst):
     """In-kernel per-row smoothed noise walk [tl, wp]: generate the
     content-addressed increments (stream index plane_off + row*w + x, same
     as ops/noise.*_rows) on the VPU and run the alpha-0.5 walk on the MXU.
@@ -119,7 +146,7 @@ def _walk_rows_kernel(key_u, row0: int, mag: int, plane_off: int,
     bits = _mix32_k(key_u + idx * _GOLD)
     u = (bits % span).astype(jnp.int32) - mag
     u = jnp.where(cols < w, u.astype(jnp.float32), 0.0)
-    y = _pole(u, T_t, d, 0.0, wp // BLOCK)
+    y = _pole(u, cst, 0.0, wp // BLOCK)
     sm = jnp.where(cols == 0, 0.0, jnp.roll(y, 1, axis=-1))
     return _trunc(sm)
 
@@ -190,7 +217,9 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, tl: int):
     do_pre = cfg.composite_preemphasis != 0 and cfg.composite_preemphasis_cut > 0
     do_noise = cfg.video_noise != 0
 
-    def kernel(r_ref, g_ref, b_ref, xi_ref, nk_ref, tt_ref, d_ref, y_ref):
+    def kernel(r_ref, g_ref, b_ref, xi_ref, nk_ref, tt_ref, d_ref,
+               tt3_ref, d3_ref, vt_ref, y_ref):
+        _TT.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         r = r_ref[0]
         g = g_ref[0]
         b = b_ref[0]
@@ -206,21 +235,21 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, tl: int):
         q = jnp.where(active, q, 0.0)
 
         if cfg.composite_in_chroma_lowpass:
-            i = _lowpass_writeback(i, tt_ref[0], d_ref[0], 2, w, wp)
-            q = _lowpass_writeback(q, tt_ref[1], d_ref[1], 4, w, wp)
+            i = _lowpass_writeback(i, _TT[0], 2, w, wp)
+            q = _lowpass_writeback(q, _TT[1], 4, w, wp)
 
         xi_col = xi_ref[0].astype(jnp.int32)
         y = _qam_encode(y, i, q, xi_col, amp, wp)
 
         if do_pre:
-            lp = _pole(y, tt_ref[2], d_ref[2], 16.0, nb)
+            lp = _pole(y, _TT[2], 16.0, nb)
             y = _trunc(y + (y - lp) * cfg.composite_preemphasis)
 
         if do_noise:
             y = y + _walk_rows_kernel(
                 nk_ref[0, 0, 0].astype(jnp.uint32),
                 pl.program_id(1) * tl, cfg.video_noise, 0, w, wp, tl,
-                tt_ref[7], d_ref[7])
+                _TT[7])
 
         y_ref[0] = jnp.where(active, y, 0.0)
 
@@ -243,8 +272,8 @@ def _kernel_b_front(cfg, w, wp, l, tl, y, xi_col, nk_u, sin_a, cos_a):
     if cfg.video_chroma_noise != 0:
         row0 = pl.program_id(1) * tl
         mag = cfg.video_chroma_noise
-        i = i + _walk_rows_kernel(nk_u, row0, mag, 0, w, wp, tl, *_TT[7])
-        q = q + _walk_rows_kernel(nk_u, row0, mag, l * w, w, wp, tl, *_TT[7])
+        i = i + _walk_rows_kernel(nk_u, row0, mag, 0, w, wp, tl, _TT[7])
+        q = q + _walk_rows_kernel(nk_u, row0, mag, l * w, w, wp, tl, _TT[7])
 
     if cfg.video_chroma_phase_noise != 0:
         if cfg.chroma_phase_noise_gen1_bug:
@@ -257,11 +286,11 @@ def _kernel_b_front(cfg, w, wp, l, tl, y, xi_col, nk_u, sin_a, cos_a):
         q = _trunc(q2)
 
     if cfg.emulating_vhs:
-        s = _pole3(y, *_TT[3], 16.0, nb)
-        lp = _pole(s, *_TT[3], 16.0, nb)
+        s = _pole3(y, _TT[3], 16.0, nb)
+        lp = _pole(s, _TT[3], 16.0, nb)
         y = jnp.where(active, _trunc(s + (s - lp) * 1.6), 0.0)
-        i = _lowpass_writeback(i, *_TT[4], speed.chroma_delay_gen2, w, wp)
-        q = _lowpass_writeback(q, *_TT[4], speed.chroma_delay_gen2, w, wp)
+        i = _lowpass_writeback(i, _TT[4], speed.chroma_delay_gen2, w, wp)
+        q = _lowpass_writeback(q, _TT[4], speed.chroma_delay_gen2, w, wp)
     return y, i, q
 
 
@@ -286,7 +315,7 @@ def _kernel_b_back(cfg, w, wp, y, i, q, xi_col, keep):
     active = xw < w
 
     if cfg.emulating_vhs:
-        ts = _pole3(y, *_TT[5], 0.0, nb)
+        ts = _pole3(y, _TT[5], 0.0, nb)
         y = jnp.where(active,
                       _trunc(y + (y - ts) * (cfg.vhs_out_sharpen * 2.0)), 0.0)
         if not cfg.vhs_svideo_out:
@@ -303,11 +332,11 @@ def _kernel_b_back(cfg, w, wp, y, i, q, xi_col, keep):
 
     if cfg.composite_out_chroma_lowpass:
         if cfg.composite_out_chroma_lowpass_lite:
-            i = _lowpass_writeback(i, *_TT[6], 1, w, wp)
-            q = _lowpass_writeback(q, *_TT[6], 1, w, wp)
+            i = _lowpass_writeback(i, _TT[6], 1, w, wp)
+            q = _lowpass_writeback(q, _TT[6], 1, w, wp)
         else:
-            i = _lowpass_writeback(i, *_TT[0], 2, w, wp)
-            q = _lowpass_writeback(q, *_TT[1], 4, w, wp)
+            i = _lowpass_writeback(i, _TT[0], 2, w, wp)
+            q = _lowpass_writeback(q, _TT[1], 4, w, wp)
 
     r = _trunc((1.000 * y + 0.956 * i + 0.621 * q) / 256.0)
     g = _trunc((1.000 * y - 0.272 * i - 0.647 * q) / 256.0)
@@ -318,18 +347,20 @@ def _kernel_b_back(cfg, w, wp, y, i, q, xi_col, keep):
 
 class _TTBinder:
     """Binds the stacked decay-constant refs so the section helpers can say
-    _TT[k] -> (T_t, d) without threading the refs everywhere."""
+    _TT[k] -> (T_t, d, T3_t, D3, VT) without threading the refs
+    everywhere.  T3_t/D3/VT are the composed-cascade constants
+    (ops/blocked_iir._cascade3_consts): D3 rows 0/1 = T^2 d / T d, VT
+    cols 0/1 = last rows of T / T^2 (transposed host-side so the kernel
+    never transposes)."""
 
     def __init__(self):
-        self.tt = None
-        self.d = None
+        self.refs = None
 
-    def bind(self, tt_ref, d_ref):
-        self.tt = tt_ref
-        self.d = d_ref
+    def bind(self, tt_ref, d_ref, tt3_ref, d3_ref, vt_ref):
+        self.refs = (tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
 
     def __getitem__(self, k):
-        return self.tt[k], self.d[k]
+        return tuple(r[k] for r in self.refs)
 
 
 _TT = _TTBinder()
@@ -339,8 +370,8 @@ def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
     """Single-tile kernel: full field resident, in-kernel vertical blend."""
 
     def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-               r_ref, g_ref, b_ref):
-        _TT.bind(tt_ref, d_ref)
+               tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref):
+        _TT.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         y = y_ref[0]
         xi_col = xi_ref[0].astype(jnp.int32)
         y, i, q = _kernel_b_front(cfg, w, wp, l, tl, y, xi_col,
@@ -360,8 +391,8 @@ def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
     """Tiled-mode front half (row-independent; vblend happens in XLA)."""
 
     def kernel(y_ref, xi_ref, nk_ref, sc_ref, tt_ref, d_ref,
-               y_out, i_out, q_out):
-        _TT.bind(tt_ref, d_ref)
+               tt3_ref, d3_ref, vt_ref, y_out, i_out, q_out):
+        _TT.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         y = y_ref[0]
         xi_col = xi_ref[0].astype(jnp.int32)
         y, i, q = _kernel_b_front(cfg, w, wp, l, tl, y, xi_col,
@@ -378,8 +409,8 @@ def _make_kernel_b2(cfg: CompositeConfig, w: int, wp: int):
     """Tiled-mode back half (row-independent)."""
 
     def kernel(y_ref, i_ref, q_ref, xi_ref, drop_ref, tt_ref, d_ref,
-               r_ref, g_ref, b_ref):
-        _TT.bind(tt_ref, d_ref)
+               tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref):
+        _TT.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         xi_col = xi_ref[0].astype(jnp.int32)
         r, g, b = _kernel_b_back(cfg, w, wp, y_ref[0], i_ref[0], q_ref[0],
                                  xi_col, drop_ref[0])
@@ -403,12 +434,30 @@ def _alpha_consts(cfg: CompositeConfig):
             speed.luma_cut, speed.chroma_cut, speed.luma_cut * 4.0,
             2600000.0]
     alphas = [float(iir_alpha(NTSC_RATE, c)) for c in cuts] + [0.5]
-    tts, ds = [], []
+    return _stack_alpha_consts(alphas)
+
+
+def _stack_alpha_consts(alphas):
+    """(tt, d, tt3, d3, vt) numpy stacks for a list of alphas — the
+    single-pole constants plus the composed 3-pole-cascade constants
+    (T^3, its carry vectors, and the last rows of T/T^2, pre-transposed
+    for the in-kernel dots)."""
+    tts, ds, tt3s, d3s, vts = [], [], [], [], []
     for a in alphas:
         T, d, _pk = _decay_consts(a, BLOCK, "float32")
+        T3, dc1, dc2, _d, v12 = _cascade3_consts(a, BLOCK, "float32")
         tts.append(T.T.copy())
         ds.append(d)
-    return np.stack(tts), np.stack(ds)
+        tt3s.append(T3.T.copy())
+        d3 = np.zeros((8, BLOCK), np.float32)
+        d3[0] = dc1
+        d3[1] = dc2
+        d3s.append(d3)
+        vt = np.zeros((BLOCK, 8), np.float32)
+        vt[:, 0] = v12[0]
+        vt[:, 1] = v12[1]
+        vts.append(vt)
+    return tuple(np.stack(x) for x in (tts, ds, tt3s, d3s, vts))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -450,9 +499,12 @@ def composite_layer_rgb_fused(
     else:
         keep = jnp.ones((b, l, 1), dtype)
 
-    tt_np, d_np = _alpha_consts(cfg)
+    tt_np, d_np, tt3_np, d3_np, vt_np = _alpha_consts(cfg)
     tts = jnp.asarray(tt_np)
     ds = jnp.asarray(d_np)
+    tt3s = jnp.asarray(tt3_np)
+    d3s = jnp.asarray(d3_np)
+    vts = jnp.asarray(vt_np)
 
     # line tiling: single tile (whole field resident, vblend in-kernel) when
     # the field fits VMEM; otherwise TL-row tiles with the vertical blend in
@@ -497,6 +549,10 @@ def composite_layer_rgb_fused(
                            memory_space=pltpu.VMEM)
     spec_d = pl.BlockSpec((8, BLOCK), lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
+    spec_d3 = pl.BlockSpec((8, 8, BLOCK), lambda i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_vt = pl.BlockSpec((8, BLOCK, 8), lambda i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
     spec_nk = pl.BlockSpec((1, 1, 2), lambda i, j: (i, 0, 0),
                            memory_space=pltpu.SMEM)
     grid = (b, n_lt)
@@ -507,10 +563,10 @@ def composite_layer_rgb_fused(
         out_shape=jax.ShapeDtypeStruct((b, lp, wp), dtype),
         grid=grid,
         in_specs=[specs3(), specs3(), specs3(), spec_col, spec_nk,
-                  spec_tt, spec_d],
+                  spec_tt, spec_d, spec_tt, spec_d3, spec_vt],
         out_specs=specs3(),
         interpret=interpret,
-    )(rf, gf, bf, xi_col, keys_ab, tts, ds)
+    )(rf, gf, bf, xi_col, keys_ab, tts, ds, tt3s, d3s, vts)
 
     # head switching on the encoded luma (XLA, windowed, applied IN PLACE
     # on the padded plane: only the <=64-line window moves through HBM —
@@ -531,10 +587,11 @@ def composite_layer_rgb_fused(
             out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
             grid=grid,
             in_specs=[specs3(), spec_col, spec_nk, spec_sc, spec_col,
-                      spec_tt, spec_d],
+                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt],
             out_specs=(specs3(),) * 3,
             interpret=interpret,
-        )(y_enc, xi_col, keys_ab, sincos_p, keep_p, tts, ds)
+        )(y_enc, xi_col, keys_ab, sincos_p, keep_p, tts, ds, tt3s, d3s,
+          vts)
     else:
         kernel_b1 = _make_kernel_b1(cfg, w, wp, l, tl)
         y2, i2, q2 = pl.pallas_call(
@@ -542,10 +599,10 @@ def composite_layer_rgb_fused(
             out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
             grid=grid,
             in_specs=[specs3(), spec_col, spec_nk, spec_sc,
-                      spec_tt, spec_d],
+                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt],
             out_specs=(specs3(),) * 3,
             interpret=interpret,
-        )(y_enc, xi_col, keys_ab, sincos_p, tts, ds)
+        )(y_enc, xi_col, keys_ab, sincos_p, tts, ds, tt3s, d3s, vts)
         if do_vblend:
             # 2-line chroma blend in XLA over the REAL rows (same math as
             # the in-kernel version: row 0 kept, row 1 blends with 0)
@@ -566,10 +623,10 @@ def composite_layer_rgb_fused(
             out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
             grid=grid,
             in_specs=[specs3(), specs3(), specs3(), spec_col, spec_col,
-                      spec_tt, spec_d],
+                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt],
             out_specs=(specs3(),) * 3,
             interpret=interpret,
-        )(y2, i2, q2, xi_col, keep_p, tts, ds)
+        )(y2, i2, q2, xi_col, keep_p, tts, ds, tt3s, d3s, vts)
 
     out = jnp.stack([r_o[:, :l, :w], g_o[:, :l, :w], b_o[:, :l, :w]],
                     axis=-1)

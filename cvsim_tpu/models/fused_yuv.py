@@ -32,7 +32,8 @@ from cvsim_tpu.config import (
     iir_alpha,
 )
 from cvsim_tpu.models import yiq as yiq_mod
-from cvsim_tpu.models.fused_yiq import (_pole, _pole3, _iota_w, _cdiv,
+from cvsim_tpu.models.fused_yiq import (_TTBinder, _stack_alpha_consts,
+                                        _pole, _pole3, _iota_w, _cdiv,
                                         _walk_rows_kernel)
 from cvsim_tpu.ops.blocked_iir import _decay_consts
 from cvsim_tpu.ops.cmath import c_int
@@ -87,21 +88,21 @@ def _up(half, eu):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _chroma_lowpass_full(p, tt_hp, d_hp, tt_lp, d_lp, delay, w2, wp2):
+def _chroma_lowpass_full(p, cst_hp, cst_lp, delay, w2, wp2):
     """Gen-1 chroma lowpass: s = p + highpass_{cut/2}(p) then 3 lowpasses,
     clampu8 delayed writeback (ffmpeg_to_composite.cpp:353-393)."""
     nb = wp2 // BLOCK
-    s = 2.0 * p - _pole(p, tt_hp, d_hp, 128.0, nb)
-    s = _u8(_pole3(s, tt_lp, d_lp, 128.0, nb))
+    s = 2.0 * p - _pole(p, cst_hp, 128.0, nb)
+    s = _u8(_pole3(s, cst_lp, 128.0, nb))
     shifted = jnp.roll(s, -delay, axis=-1) if delay else s
     xw = _iota_w(wp2)
     out = jnp.where(xw < (w2 - delay), shifted, p)
     return jnp.where(xw < w2, out, 0.0)
 
 
-def _chroma_lowpass_lite(p, tt, d, w2, wp2):
+def _chroma_lowpass_lite(p, cst, w2, wp2):
     nb = wp2 // BLOCK
-    s = _u8(_pole3(p, tt, d, 128.0, nb))
+    s = _u8(_pole3(p, cst, 128.0, nb))
     shifted = jnp.roll(s, -1, axis=-1)
     xw = _iota_w(wp2)
     out = jnp.where(xw < (w2 - 1), shifted, p)
@@ -173,12 +174,7 @@ def _alpha_consts_gen1(cfg: CompositeConfig):
         (NTSC_RATE_422, NTSC_RATE_422 / 4),
     ]
     alphas = [float(iir_alpha(rate, cut)) for rate, cut in specs] + [0.5]
-    tts, ds = [], []
-    for a in alphas:
-        T, d, _pk = _decay_consts(a, BLOCK, "float32")
-        tts.append(T.T.copy())
-        ds.append(d)
-    return np.stack(tts), np.stack(ds)
+    return _stack_alpha_consts(alphas)
 
 
 def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int,
@@ -188,7 +184,9 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int,
     do_noise = cfg.video_noise != 0
 
     def kernel(y_ref, u_ref, v_ref, xi_ref, nk_ref, tt_ref, d_ref,
-               eu_ref, y_out):
+               tt3_ref, d3_ref, vt_ref, eu_ref, y_out):
+        cs = _TTBinder()
+        cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         y = y_ref[0]
         u = u_ref[0]
         v = v_ref[0]
@@ -197,23 +195,21 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int,
         if cfg.composite_in_chroma_lowpass:
             u_delay = 2
             v_delay = 4 if cfg.ntsc else 2
-            u = _chroma_lowpass_full(u, tt_ref[1], d_ref[1],
-                                     tt_ref[0], d_ref[0], u_delay, w2, wp2)
-            v = _chroma_lowpass_full(v, tt_ref[3], d_ref[3],
-                                     tt_ref[2], d_ref[2], v_delay, w2, wp2)
+            u = _chroma_lowpass_full(u, cs[1], cs[0], u_delay, w2, wp2)
+            v = _chroma_lowpass_full(v, cs[3], cs[2], v_delay, w2, wp2)
 
         y = _qam_encode_u8(y, u, v, xi_col, cfg.subcarrier_amplitude,
                            eu_ref[...], w, wp)
 
         if do_pre:
-            lp = _pole(y, tt_ref[4], d_ref[4], 16.0, nb)
+            lp = _pole(y, cs[4], 16.0, nb)
             y = _u8(y + (y - lp) * cfg.composite_preemphasis)
 
         if do_noise:
             y = _u8(y + _walk_rows_kernel(
                 nk_ref[0, 0, 0].astype(jnp.uint32),
                 pl.program_id(1) * tl, cfg.video_noise, 0, w, wp, tl,
-                tt_ref[10], d_ref[10]))
+                cs[10]))
 
         y_out[0] = jnp.where(_iota_w(wp) < w, y, 0.0)
 
@@ -221,7 +217,7 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int,
 
 
 def _b_front(cfg, w, wp, w2, wp2, l, tl, y, xi_col, nk_u, sin_a, cos_a,
-             tt_ref, d_ref, ed):
+             cs, ed):
     """Decode + chroma/phase noise + VHS bandlimit (row-independent)."""
     nb = wp // BLOCK
     nb2 = wp2 // BLOCK
@@ -234,9 +230,9 @@ def _b_front(cfg, w, wp, w2, wp2, l, tl, y, xi_col, nk_u, sin_a, cos_a,
         row0 = pl.program_id(1) * tl
         mag = cfg.video_chroma_noise
         u = _u8(u + _walk_rows_kernel(nk_u, row0, mag, 0, w2, wp2, tl,
-                                      tt_ref[10], d_ref[10]))
+                                      cs[10]))
         v = _u8(v + _walk_rows_kernel(nk_u, row0, mag, l * w2, w2, wp2, tl,
-                                      tt_ref[10], d_ref[10]))
+                                      cs[10]))
 
     if cfg.video_chroma_phase_noise != 0:
         uu = u - 128.0
@@ -247,15 +243,15 @@ def _b_front(cfg, w, wp, w2, wp2, l, tl, y, xi_col, nk_u, sin_a, cos_a,
 
     if cfg.emulating_vhs:
         # luma: 3 lowpasses then emphasis vs a 4th same-cut pole
-        t = _pole3(y, tt_ref[5], d_ref[5], 16.0, nb)
-        lp = _pole(t, tt_ref[5], d_ref[5], 16.0, nb)
+        t = _pole3(y, cs[5], 16.0, nb)
+        lp = _pole(t, cs[5], 16.0, nb)
         y = jnp.where(_iota_w(wp) < w, _u8(t + (t - lp) * 1.6), 0.0)
         # chroma: 3 lowpasses @422 rate, clampu8 delayed writeback
         cd = speed.chroma_delay_gen1
         xw2 = _iota_w(wp2)
 
         def chroma_lp(p):
-            sflt = _u8(_pole3(p, tt_ref[6], d_ref[6], 128.0, nb2))
+            sflt = _u8(_pole3(p, cs[6], 128.0, nb2))
             shifted = jnp.roll(sflt, -cd, axis=-1)
             out = jnp.where(xw2 < (w2 - cd), shifted, p)
             return jnp.where(xw2 < w2, out, 0.0)
@@ -280,7 +276,7 @@ def _b_vblend(w2, wp2, u, v):
     return vblend(u), vblend(v)
 
 
-def _b_back(cfg, w, wp, w2, wp2, y, u, v, xi_col, keep, tt_ref, d_ref,
+def _b_back(cfg, w, wp, w2, wp2, y, u, v, xi_col, keep, cs,
             ed, eu):
     """Sharpen + recombine + dropout + output lowpass (row-independent)."""
     nb = wp // BLOCK
@@ -289,12 +285,12 @@ def _b_back(cfg, w, wp, w2, wp2, y, u, v, xi_col, keep, tt_ref, d_ref,
 
     if cfg.emulating_vhs:
         # sharpen: luma x1.5 at 2x cut, chroma x0.85 at 2x cut
-        ts = _pole3(y, tt_ref[7], d_ref[7], 16.0, nb)
+        ts = _pole3(y, cs[7], 16.0, nb)
         y = jnp.where(_iota_w(wp) < w,
                       _u8(y + (y - ts) * cfg.vhs_out_sharpen), 0.0)
 
         def sharpen_c(p):
-            tsc = _pole3(p, tt_ref[8], d_ref[8], 128.0, nb2)
+            tsc = _pole3(p, cs[8], 128.0, nb2)
             out = _u8(p + (p - tsc) * cfg.vhs_out_sharpen_chroma)
             return jnp.where(xw2 < w2, out, 0.0)
 
@@ -321,13 +317,11 @@ def _b_back(cfg, w, wp, w2, wp2, y, u, v, xi_col, keep, tt_ref, d_ref,
     if cfg.composite_out_chroma_lowpass:
         u_delay = 2
         v_delay = 4 if cfg.ntsc else 2
-        u = _chroma_lowpass_full(u, tt_ref[1], d_ref[1],
-                                 tt_ref[0], d_ref[0], u_delay, w2, wp2)
-        v = _chroma_lowpass_full(v, tt_ref[3], d_ref[3],
-                                 tt_ref[2], d_ref[2], v_delay, w2, wp2)
+        u = _chroma_lowpass_full(u, cs[1], cs[0], u_delay, w2, wp2)
+        v = _chroma_lowpass_full(v, cs[3], cs[2], v_delay, w2, wp2)
     elif cfg.composite_out_chroma_lowpass_lite:
-        u = _chroma_lowpass_lite(u, tt_ref[9], d_ref[9], w2, wp2)
-        v = _chroma_lowpass_lite(v, tt_ref[9], d_ref[9], w2, wp2)
+        u = _chroma_lowpass_lite(u, cs[9], w2, wp2)
+        v = _chroma_lowpass_lite(v, cs[9], w2, wp2)
     return y, u, v
 
 
@@ -336,16 +330,19 @@ def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int,
     """Single-tile kernel: full field resident, in-kernel vertical blend."""
 
     def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-               ed_ref, eu_ref, y_out, u_out, v_out):
+               tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+               y_out, u_out, v_out):
+        cs = _TTBinder()
+        cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         xi_col = xi_ref[0].astype(jnp.int32)
         y, u, v = _b_front(cfg, w, wp, w2, wp2, l, tl, y_ref[0], xi_col,
                            nk_ref[0, 0, 1].astype(jnp.uint32),
                            sc_ref[0, :, 0:1], sc_ref[0, :, 1:2],
-                           tt_ref, d_ref, ed_ref[...])
+                           cs, ed_ref[...])
         if cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc:
             u, v = _b_vblend(w2, wp2, u, v)
         y, u, v = _b_back(cfg, w, wp, w2, wp2, y, u, v, xi_col, drop_ref[0],
-                          tt_ref, d_ref, ed_ref[...], eu_ref[...])
+                          cs, ed_ref[...], eu_ref[...])
         y_out[0] = y
         u_out[0] = u
         v_out[0] = v
@@ -357,13 +354,15 @@ def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int, w2: int,
                     wp2: int, l: int, tl: int):
     """Tiled-mode front half."""
 
-    def kernel(y_ref, xi_ref, nk_ref, sc_ref, tt_ref, d_ref, ed_ref,
-               y_out, u_out, v_out):
+    def kernel(y_ref, xi_ref, nk_ref, sc_ref, tt_ref, d_ref,
+               tt3_ref, d3_ref, vt_ref, ed_ref, y_out, u_out, v_out):
+        cs = _TTBinder()
+        cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         xi_col = xi_ref[0].astype(jnp.int32)
         y, u, v = _b_front(cfg, w, wp, w2, wp2, l, tl, y_ref[0], xi_col,
                            nk_ref[0, 0, 1].astype(jnp.uint32),
                            sc_ref[0, :, 0:1], sc_ref[0, :, 1:2],
-                           tt_ref, d_ref, ed_ref[...])
+                           cs, ed_ref[...])
         y_out[0] = y
         u_out[0] = u
         v_out[0] = v
@@ -375,10 +374,13 @@ def _make_kernel_b2(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int):
     """Tiled-mode back half."""
 
     def kernel(y_ref, u_ref, v_ref, xi_ref, drop_ref, tt_ref, d_ref,
-               ed_ref, eu_ref, y_out, u_out, v_out):
+               tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+               y_out, u_out, v_out):
+        cs = _TTBinder()
+        cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         xi_col = xi_ref[0].astype(jnp.int32)
         y, u, v = _b_back(cfg, w, wp, w2, wp2, y_ref[0], u_ref[0], v_ref[0],
-                          xi_col, drop_ref[0], tt_ref, d_ref,
+                          xi_col, drop_ref[0], cs,
                           ed_ref[...], eu_ref[...])
         y_out[0] = y
         u_out[0] = u
@@ -429,9 +431,12 @@ def composite_video_process_fused(
     else:
         keep = jnp.ones((b, l, 1), dtype)
 
-    tt_np, d_np = _alpha_consts_gen1(cfg)
+    tt_np, d_np, tt3_np, d3_np, vt_np = _alpha_consts_gen1(cfg)
     tts = jnp.asarray(tt_np)
     ds = jnp.asarray(d_np)
+    tt3s = jnp.asarray(tt3_np)
+    d3s = jnp.asarray(d3_np)
+    vts = jnp.asarray(vt_np)
     ed_np, eu_np = _pick_matrices()
     ed = jnp.asarray(ed_np)
     eu = jnp.asarray(eu_np)
@@ -478,6 +483,10 @@ def composite_video_process_fused(
                            memory_space=pltpu.VMEM)
     spec_d = pl.BlockSpec(d_np.shape, lambda i, j: (0, 0),
                           memory_space=pltpu.VMEM)
+    spec_d3 = pl.BlockSpec(d3_np.shape, lambda i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_vt = pl.BlockSpec(vt_np.shape, lambda i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
     spec_ed = pl.BlockSpec(ed_np.shape, lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
     spec_eu = pl.BlockSpec(eu_np.shape, lambda i, j: (0, 0),
@@ -492,10 +501,10 @@ def composite_video_process_fused(
         out_shape=jax.ShapeDtypeStruct((b, lp, wp), dtype),
         grid=grid,
         in_specs=[spec_full, spec_half, spec_half, spec_col, spec_nk,
-                  spec_tt, spec_d, spec_eu],
+                  spec_tt, spec_d, spec_tt, spec_d3, spec_vt, spec_eu],
         out_specs=spec_full,
         interpret=interpret,
-    )(yf, uf, vf, xi_col, keys_ab, tts, ds, eu)
+    )(yf, uf, vf, xi_col, keys_ab, tts, ds, tt3s, d3s, vts, eu)
 
     if cfg.vhs_head_switching:
         # windowed in-place head switch on the padded plane (no full-plane
@@ -519,10 +528,12 @@ def composite_video_process_fused(
             out_shape=out_shapes,
             grid=grid,
             in_specs=[spec_full, spec_col, spec_nk, spec_sc, spec_col,
-                      spec_tt, spec_d, spec_ed, spec_eu],
+                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt,
+                      spec_ed, spec_eu],
             out_specs=(spec_full, spec_half, spec_half),
             interpret=interpret,
-        )(y_enc, xi_col, keys_ab, sincos_p, keep_p, tts, ds, ed, eu)
+        )(y_enc, xi_col, keys_ab, sincos_p, keep_p, tts, ds, tt3s, d3s,
+          vts, ed, eu)
     else:
         kernel_b1 = _make_kernel_b1(cfg, w, wp, w2, wp2, l, tl)
         y2, u2, v2 = pl.pallas_call(
@@ -530,10 +541,10 @@ def composite_video_process_fused(
             out_shape=out_shapes,
             grid=grid,
             in_specs=[spec_full, spec_col, spec_nk, spec_sc,
-                      spec_tt, spec_d, spec_ed],
+                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt, spec_ed],
             out_specs=(spec_full, spec_half, spec_half),
             interpret=interpret,
-        )(y_enc, xi_col, keys_ab, sincos_p, tts, ds, ed)
+        )(y_enc, xi_col, keys_ab, sincos_p, tts, ds, tt3s, d3s, vts, ed)
         if do_vblend:
             xw2 = jnp.arange(wp2)[None, None, :]
 
@@ -556,10 +567,11 @@ def composite_video_process_fused(
             out_shape=out_shapes,
             grid=grid,
             in_specs=[spec_full, spec_half, spec_half, spec_col, spec_col,
-                      spec_tt, spec_d, spec_ed, spec_eu],
+                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt,
+                      spec_ed, spec_eu],
             out_specs=(spec_full, spec_half, spec_half),
             interpret=interpret,
-        )(y2, u2, v2, xi_col, keep_p, tts, ds, ed, eu)
+        )(y2, u2, v2, xi_col, keep_p, tts, ds, tt3s, d3s, vts, ed, eu)
 
     return (y_o[:, :l, :w].astype(jnp.int32),
             u_o[:, :l, :w2].astype(jnp.int32),

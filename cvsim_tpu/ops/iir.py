@@ -67,8 +67,17 @@ def iir_lowpass(x: jax.Array, alpha, y0, axis: int = -1) -> jax.Array:
 
 def iir_lowpass_cascade(x: jax.Array, alpha, y0, passes: int, axis: int = -1) -> jax.Array:
     """N identical one-pole lowpasses in series (each with its own register,
-    all reset to y0) — the `LowpassFilter lp[3]` idiom."""
+    all reset to y0) — the `LowpassFilter lp[3]` idiom.  Groups of three
+    compose into a single T^3 blocked matmul on the sample axis (a third
+    of the MXU work; ops/blocked_iir.iir_lowpass3_blocked)."""
+    from cvsim_tpu.ops.blocked_iir import iir_lowpass3_blocked
+
+    x = jnp.asarray(x)
     y = x
+    last_axis = axis in (-1, x.ndim - 1)
+    while passes >= 3 and last_axis:
+        y = iir_lowpass3_blocked(y, alpha, y0)
+        passes -= 3
     for _ in range(passes):
         y = iir_lowpass(y, alpha, y0, axis=axis)
     return y

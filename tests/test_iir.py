@@ -129,3 +129,28 @@ def test_roll_rows_max_shift():
     np.testing.assert_array_equal(full, trimmed)
     for r in range(4):
         np.testing.assert_array_equal(trimmed[r], np.roll(np.asarray(a)[r], -int(s[r])))
+
+
+def test_cascade3_blocked_multiblock_carry():
+    """The composed T^3 cascade (one matmul per block + 3-state carry
+    chain) must match three sequential blocked passes across MANY blocks
+    to f32 rounding, including a nonzero reset value."""
+    from cvsim_tpu.ops.blocked_iir import (iir_lowpass3_blocked,
+                                           iir_lowpass_blocked)
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(0, 255, size=(3, 5, 704)), jnp.float32)
+    alpha = float(iir_alpha(NTSC_RATE, 600000.0))
+    got = np.asarray(iir_lowpass3_blocked(x, alpha, 128.0))
+    ref = x
+    for _ in range(3):
+        ref = iir_lowpass_blocked(ref, alpha, 128.0)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=3e-6, atol=2e-3)
+    # f64: both formulations agree to ~1e-9 of the sequential truth
+    xd = x.astype(jnp.float64)
+    got64 = np.asarray(iir_lowpass3_blocked(xd, alpha, 128.0))
+    ref64 = xd
+    for _ in range(3):
+        ref64 = iir_lowpass_blocked(ref64, alpha, 128.0)
+    np.testing.assert_allclose(got64, np.asarray(ref64), rtol=1e-11,
+                               atol=1e-8)
