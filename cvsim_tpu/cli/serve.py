@@ -15,10 +15,12 @@ docs/STATUS.md "first-fetch stall"). A resident server pays that once:
 even the FIRST client command streams at link speed. Every subsequent
 invocation of any tool skips interpreter + jax init + program load.
 
-Protocol (line-JSON over SOCK_STREAM): client sends {"argv": [...]},
-server streams {"err": "..."} progress lines and one final {"rc": N}.
-Commands run one at a time (one device). The server is same-user
-(socket mode 0700 dir) and same-machine by construction.
+Protocol (line-JSON over SOCK_STREAM): client sends {"argv": [...],
+"cwd": "..."}, server streams {"err": "..."} progress lines and one final
+{"rc": N}. Commands run one at a time (one device), in the client's
+working directory (the server chdirs under the command lock). The socket
+is same-user: it lives in XDG_RUNTIME_DIR or a 0700 per-uid directory and
+is chmod 0600.
 """
 
 from __future__ import annotations
@@ -31,26 +33,36 @@ import sys
 import threading
 
 
-DEFAULT_SOCKET = os.path.join(
-    os.environ.get("XDG_RUNTIME_DIR", "/tmp"), "cvsim.sock")
+def default_socket() -> str:
+    run_dir = os.environ.get("XDG_RUNTIME_DIR")
+    if not run_dir:
+        run_dir = f"/tmp/cvsim-{os.getuid()}"
+        os.makedirs(run_dir, mode=0o700, exist_ok=True)
+        os.chmod(run_dir, 0o700)
+    return os.path.join(run_dir, "cvsim.sock")
+
+
+# threads currently inside run_via (an in-process client echoing server
+# progress to stderr must not loop it back into the socket)
+_via_threads: set = set()
 
 
 class _TeeErr:
-    """stderr tee: forward the HANDLER thread's tool progress to the client
-    socket. Swapping the global sys.stderr is process-wide, so writes from
-    any other thread (including an in-process client, as in the tests)
-    must pass through untouched — otherwise a client echoing progress to
-    stderr would loop it straight back into the socket."""
+    """stderr tee: forward tool progress to the client socket. The
+    pipeline prints from worker threads (cvsim-write progress lines,
+    CVSIM_PHASES stamps), so ALL threads forward — except threads inside
+    run_via (see _via_threads) and the server's own accept loop."""
 
-    def __init__(self, wfile, fallback, owner_ident):
+    def __init__(self, wfile, fallback, skip_idents):
         self.wfile = wfile
         self.fallback = fallback
-        self.owner = owner_ident
+        self.skip = skip_idents
 
     def write(self, s):
         if not s:
             return 0
-        if threading.get_ident() != self.owner:
+        ident = threading.get_ident()
+        if ident in self.skip or ident in _via_threads:
             return self._fall(s)
         try:
             self.wfile.write((json.dumps({"err": s}) + "\n").encode())
@@ -70,23 +82,26 @@ class _TeeErr:
         pass
 
 
-def _prime_gen1():
+def _prime_gen1(lock):
     """Run the flagship gen-1 GOP program once on a dummy GOP and fetch the
     result: forces remote compile + program load + channel ramp so the
-    first real command starts at steady-state."""
-    from cvsim_tpu import presets
-    from cvsim_tpu.host.pipeline import CompositePipeline
+    first real command starts at steady-state. Holds the command lock —
+    a client command racing the prime execution would trigger the
+    concurrent-transfer first-execution stall the prime exists to avoid."""
+    with lock:
+        from cvsim_tpu import presets
+        from cvsim_tpu.host.pipeline import CompositePipeline
 
-    st = presets.parse_composite_flags(["-vhs", "-vhs-speed", "ep"],
-                                       gen2=False)
-    cfg = st.to_run_config(gen1=True)
-    pipe = CompositePipeline(cfg, progress=False)
-    gop_step = pipe._build_gop_program(480, 704, 240, 352, False, True)
-    pipe._prime_program(gop_step, 480, 704, 240, 352)
+        st = presets.parse_composite_flags(["-vhs", "-vhs-speed", "ep"],
+                                           gen2=False)
+        cfg = st.to_run_config(gen1=True)
+        pipe = CompositePipeline(cfg, progress=False)
+        gop_step = pipe._build_gop_program(480, 704, 240, 352, False, True)
+        pipe._prime_program(gop_step, 480, 704, 240, 352)
 
 
 def run_serve(argv) -> int:
-    sock_path = DEFAULT_SOCKET
+    sock_path = None
     prime = False
     one_shot = False          # test hook: exit after one connection
     i = 0
@@ -102,10 +117,13 @@ def run_serve(argv) -> int:
         else:
             print(f"Unknown switch '{a}'", file=sys.stderr)
             return 1
+    if sock_path is None:
+        sock_path = default_socket()
 
     from cvsim_tpu.cli import main as climain
 
     lock = threading.Lock()
+    server_idents = {threading.get_ident()}
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
@@ -118,9 +136,13 @@ def run_serve(argv) -> int:
                 return
             with lock:                      # one device, one command at a time
                 old = sys.stderr
-                sys.stderr = _TeeErr(self.wfile, old,
-                                     threading.get_ident())
+                sys.stderr = _TeeErr(self.wfile, old, server_idents)
+                old_cwd = os.getcwd()
                 try:
+                    # relative -i/-o paths resolve in the CLIENT's cwd;
+                    # chdir is process-global but commands serialize here
+                    if req.get("cwd"):
+                        os.chdir(req["cwd"])
                     rc = climain.main(req.get("argv", []))
                 except SystemExit as e:
                     rc = int(e.code or 0)
@@ -129,6 +151,10 @@ def run_serve(argv) -> int:
                           file=sys.stderr)
                     rc = 1
                 finally:
+                    try:
+                        os.chdir(old_cwd)
+                    except OSError:
+                        pass
                     sys.stderr = old
             try:
                 self.wfile.write((json.dumps({"rc": rc}) + "\n").encode())
@@ -142,8 +168,9 @@ def run_serve(argv) -> int:
         daemon_threads = True
 
     srv = Server(sock_path, Handler)
+    os.chmod(sock_path, 0o600)
     if prime:
-        t = threading.Thread(target=_prime_gen1, daemon=True,
+        t = threading.Thread(target=_prime_gen1, args=(lock,), daemon=True,
                              name="cvsim-prime-gen1")
         t.start()
     print(f"cvsim serve: listening on {sock_path}", file=sys.stderr)
@@ -166,19 +193,25 @@ def run_serve(argv) -> int:
 def run_via(sock_path: str, argv) -> int:
     """Client: forward argv to a running `cvsim serve`, stream its progress
     to stderr, return its exit code."""
-    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
-        s.connect(sock_path)
-        s.sendall((json.dumps({"argv": list(argv)}) + "\n").encode())
-        f = s.makefile("rb")
-        for line in f:
-            try:
-                msg = json.loads(line)
-            except ValueError:
-                continue
-            if "err" in msg:
-                sys.stderr.write(msg["err"])
-                sys.stderr.flush()
-            if "rc" in msg:
-                return int(msg["rc"])
-    print("cvsim -via: server closed without a result", file=sys.stderr)
-    return 1
+    ident = threading.get_ident()
+    _via_threads.add(ident)
+    try:
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.connect(sock_path)
+            s.sendall((json.dumps({"argv": list(argv),
+                                   "cwd": os.getcwd()}) + "\n").encode())
+            f = s.makefile("rb")
+            for line in f:
+                try:
+                    msg = json.loads(line)
+                except ValueError:
+                    continue
+                if "err" in msg:
+                    sys.stderr.write(msg["err"])
+                    sys.stderr.flush()
+                if "rc" in msg:
+                    return int(msg["rc"])
+        print("cvsim -via: server closed without a result", file=sys.stderr)
+        return 1
+    finally:
+        _via_threads.discard(ident)

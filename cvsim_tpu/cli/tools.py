@@ -113,66 +113,69 @@ def _open_video_output(path):
     return ffmpeg_pipe.resolve_video_output(path)
 
 
-def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
-    """Drive input frames at the output field rate; per_field(frame(s),
-    fieldno) -> RGB [H, W, 3] output frame. With multi=True all inputs
-    advance in lockstep and per_field receives the list of current frames
-    (the reference's layered InputFile loop)."""
+def _advance_fields(args: _ToolArgs, multi: bool):
+    """Generator over (frames, fieldno) at the output field rate — the
+    reference's layered InputFile advance loop (each input held for its
+    own frame duration, all advancing in lockstep). Closes the input
+    backends on exhaustion or caller abandonment."""
     paths = args.inputs if multi else args.inputs[:1]
     readers, in_cleanups = _open_video_inputs(paths)
-    fpss = [r.header.fps for r in readers]
+    try:
+        fpss = [r.header.fps for r in readers]
+        n = len(readers)
+        current = 0
+        frame_idx = [0] * n
+        frames = [None] * n
+        next_at = [0] * n
+        its = [iter(r) for r in readers]
+        eof = [False] * n
+        while True:
+            for k in range(n):
+                while not eof[k] and next_at[k] <= current:
+                    try:
+                        yf, uf, vf = next(its[k])
+                    except StopIteration:
+                        eof[k] = True
+                        break
+                    if uf is None:
+                        uf = np.full_like(yf, 128)
+                        vf = uf
+                    frames[k] = _scale_frame_to(yf, uf, vf, args.width,
+                                                args.height)
+                    frame_idx[k] += 1
+                    next_at[k] = timing.frame_pts_to_field(
+                        frame_idx[k], fpss[k], args.field_rate)
+            if any(f is None for f in frames) or (
+                    all(eof) and current >= max(next_at)):
+                return
+            yield frames, current
+            current += 1
+    finally:
+        for c in in_cleanups:
+            c()
+
+
+def _open_tool_writer(args: _ToolArgs):
     out_hdr = y4m.Y4MHeader(
         width=args.width, height=args.height, fps=args.field_rate,
         interlacing="p", aspect="4:3",
         colorspace="422" if args.use_422 else "420jpeg")
     out_stream, out_finalize = _open_video_output(args.output)
-    writer = y4m.Y4MWriter(out_stream, out_hdr)
+    return y4m.Y4MWriter(out_stream, out_hdr), out_finalize
 
-    n = len(readers)
-    current = 0
-    frame_idx = [0] * n
-    frames = [None] * n
-    next_at = [0] * n
-    its = [iter(r) for r in readers]
-    eof = [False] * n
-    while True:
-        for k in range(n):
-            while not eof[k] and next_at[k] <= current:
-                try:
-                    yf, uf, vf = next(its[k])
-                except StopIteration:
-                    eof[k] = True
-                    break
-                if uf is None:
-                    uf = np.full_like(yf, 128)
-                    vf = uf
-                frames[k] = _scale_frame_to(yf, uf, vf, args.width, args.height)
-                frame_idx[k] += 1
-                next_at[k] = timing.frame_pts_to_field(
-                    frame_idx[k], fpss[k], args.field_rate)
-        if any(f is None for f in frames) or (
-                all(eof) and current >= max(next_at)):
-            break
+
+def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
+    """Drive input frames at the output field rate; per_field(frame(s),
+    fieldno) -> RGB [H, W, 3] output frame."""
+    writer, out_finalize = _open_tool_writer(args)
+    for frames, current in _advance_fields(args, multi):
         frame = frames if multi else frames[0]
-        out_rgb = np.asarray(per_field(frame, current))
-        y, u, v = rgb_to_yuv601_np(out_rgb[..., 0], out_rgb[..., 1],
-                                   out_rgb[..., 2])
-        y = y.astype(np.uint8)
-        u = u.astype(np.uint8)
-        v = v.astype(np.uint8)
-        if args.use_422:
-            writer.write(y, u[:, 0::2], v[:, 0::2])
-        else:
-            writer.write(y, u[0::2, 0::2], v[0::2, 0::2])
+        _write_rgb(writer, np.asarray(per_field(frame, current)),
+                   args.use_422)
         print(f"\x0dOutput field {current} ", end="", file=sys.stderr)
-        current += 1
     print("", file=sys.stderr)
-    for c in in_cleanups:
-        c()
     out_finalize()
     return 0
-
-
 
 
 def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
@@ -182,15 +185,7 @@ def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
     list of RGB output frames. One device dispatch per batch instead of per
     field — the gen-1 GOP treatment for the compute-heavy sibling tools
     (VERDICT r2 #2)."""
-    paths = args.inputs if multi else args.inputs[:1]
-    readers, in_cleanups = _open_video_inputs(paths)
-    fpss = [r.header.fps for r in readers]
-    out_hdr = y4m.Y4MHeader(
-        width=args.width, height=args.height, fps=args.field_rate,
-        interlacing="p", aspect="4:3",
-        colorspace="422" if args.use_422 else "420jpeg")
-    out_stream, out_finalize = _open_video_output(args.output)
-    writer = y4m.Y4MWriter(out_stream, out_hdr)
+    writer, out_finalize = _open_tool_writer(args)
 
     def flush(buf_frames, buf_fields):
         outs = per_batch(np.stack(buf_frames), buf_fields)
@@ -198,44 +193,16 @@ def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
             _write_rgb(writer, out_rgb, args.use_422)
             print(f"\x0dOutput field {fieldno} ", end="", file=sys.stderr)
 
-    n = len(readers)
-    current = 0
-    frame_idx = [0] * n
-    frames = [None] * n
-    next_at = [0] * n
-    its = [iter(r) for r in readers]
-    eof = [False] * n
     buf_frames, buf_fields = [], []
-    while True:
-        for k in range(n):
-            while not eof[k] and next_at[k] <= current:
-                try:
-                    yf, uf, vf = next(its[k])
-                except StopIteration:
-                    eof[k] = True
-                    break
-                if uf is None:
-                    uf = np.full_like(yf, 128)
-                    vf = uf
-                frames[k] = _scale_frame_to(yf, uf, vf, args.width,
-                                            args.height)
-                frame_idx[k] += 1
-                next_at[k] = timing.frame_pts_to_field(
-                    frame_idx[k], fpss[k], args.field_rate)
-        if any(f is None for f in frames) or (
-                all(eof) and current >= max(next_at)):
-            break
+    for frames, current in _advance_fields(args, multi):
         buf_frames.append(_last_frame(frames))
         buf_fields.append(current)
         if len(buf_frames) >= batch:
             flush(buf_frames, buf_fields)
             buf_frames, buf_fields = [], []
-        current += 1
     if buf_frames:
         flush(buf_frames, buf_fields)
     print("", file=sys.stderr)
-    for c in in_cleanups:
-        c()
     out_finalize()
     return 0
 

@@ -675,6 +675,15 @@ class CompositePipeline:
             if auto_log is not None:
                 log_rate, pkts = timing.read_audio_pts_log(auto_log)
                 if pkts:
+                    # rebase to the stream's own start: containers often
+                    # begin at a nonzero pts, and the video side rebases
+                    # to its first frame too — keep intra-stream GAPS (the
+                    # feature) without manufacturing leading silence equal
+                    # to the container's start offset
+                    base = next((p for p, _ in pkts if p is not None), 0)
+                    if base:
+                        pkts = [(None if p is None else p - base, n)
+                                for p, n in pkts]
                     pts_packets = (log_rate, pkts)
         finally:
             if auto_log is not None:

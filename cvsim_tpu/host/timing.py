@@ -126,10 +126,13 @@ class FrameClock:
         return -((2 * -n + d) // (2 * d))
 
     def seconds(self, idx: int) -> float:
-        """Presentation time of frame idx (for -ss/-se gating)."""
+        """Presentation time of frame idx (for -ss/-se gating), relative
+        to the STREAM start: containers and -video-pts-in logs routinely
+        start at a nonzero pts (MPEG-TS offsets); absolute pts here would
+        shift — or empty out — the transcode window vs the CFR path."""
         if self.log is None:
             return float(idx / self.fps)
-        return float(self._adj_pts(idx) / self.log_rate)
+        return float((self._adj_pts(idx) - self._adj_pts(0)) / self.log_rate)
 
     def fields(self, idx: int, base_idx: int) -> tuple[int, int]:
         """(start_field, end_field) of frame `idx`, rebased so the first

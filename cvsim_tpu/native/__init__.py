@@ -9,6 +9,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 import threading
 
 import numpy as np
@@ -39,11 +40,23 @@ def build_av_tool() -> str | None:
         try:
             if (not os.path.exists(_AV_BIN) or os.path.getmtime(_AV_BIN)
                     < os.path.getmtime(_AV_SRC)):
+                # build to a private temp name, then atomically rename:
+                # concurrent processes (parallel CLI runs, daemon + client)
+                # must never exec a half-linked binary or collide on the
+                # shared output path
+                tmp = f"{_AV_BIN}.tmp.{os.getpid()}"
                 subprocess.run(
-                    ["g++", "-O2", "-o", _AV_BIN, _AV_SRC] + _AV_LIBS,
+                    ["g++", "-O2", "-o", tmp, _AV_SRC] + _AV_LIBS,
                     check=True, capture_output=True)
+                os.replace(tmp, _AV_BIN)
             path = _AV_BIN
-        except (OSError, subprocess.CalledProcessError):
+        except subprocess.CalledProcessError as e:
+            print("cvsim: cvsim-av build failed (container I/O limited to "
+                  "Y4M/WAV + ffmpeg-on-PATH):\n"
+                  + e.stderr.decode(errors="replace")[-800:],
+                  file=sys.stderr)
+            path = None
+        except OSError:
             path = None
         _av_state.append(path)
         return path

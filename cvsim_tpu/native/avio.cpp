@@ -50,6 +50,31 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+// FFmpeg 6/7 renamed the frame duration and interlace fields; keep 5.x
+// (this image: 5.1) and 6+/7+ building from one source.
+#if LIBAVUTIL_VERSION_MAJOR >= 58
+#define FRAME_DURATION(f) ((f)->duration)
+#else
+#define FRAME_DURATION(f) ((f)->pkt_duration)
+#endif
+#ifdef AV_FRAME_FLAG_INTERLACED
+#define FRAME_INTERLACED(f) (((f)->flags & AV_FRAME_FLAG_INTERLACED) != 0)
+#define FRAME_TFF(f) (((f)->flags & AV_FRAME_FLAG_TOP_FIELD_FIRST) != 0)
+#define SET_FRAME_INTERLACED(f, il, tff)                        \
+  do {                                                          \
+    if (il) (f)->flags |= AV_FRAME_FLAG_INTERLACED;             \
+    if (tff) (f)->flags |= AV_FRAME_FLAG_TOP_FIELD_FIRST;       \
+  } while (0)
+#else
+#define FRAME_INTERLACED(f) ((f)->interlaced_frame != 0)
+#define FRAME_TFF(f) ((f)->top_field_first != 0)
+#define SET_FRAME_INTERLACED(f, il, tff)    \
+  do {                                      \
+    (f)->interlaced_frame = (il) ? 1 : 0;   \
+    (f)->top_field_first = (tff) ? 1 : 0;   \
+  } while (0)
+#endif
+
 namespace {
 
 [[noreturn]] void die(const char *fmt, ...) {
@@ -188,8 +213,12 @@ struct Y4MOut {
   }
 
   void frame(const uint8_t *y, int ystride, const uint8_t *u, const uint8_t *v,
-             int cstride, int64_t pts90k = -1, int64_t dur90k = -1) {
-    if (pts90k >= 0)
+             int cstride, bool ts = false, int64_t pts90k = -1,
+             int64_t dur90k = -1) {
+    // with ts, EVERY frame gets a marker — pts90k=-1 means "no container
+    // pts, extend by cadence"; omitting the marker would desynchronize
+    // the consumer's frame-indexed duration map
+    if (ts)
       printf("FRAME Xt=%lld:%lld\n", (long long)pts90k, (long long)dur90k);
     else
       fputs("FRAME\n", stdout);
@@ -233,8 +262,7 @@ int cmd_decode(const Args &a) {
 
   auto emit = [&](AVFrame *f) {
     if (!y4m.wrote_header) {
-      char ilace = f->interlaced_frame ? (f->top_field_first ? 't' : 'b')
-                                       : 'p';
+      char ilace = FRAME_INTERLACED(f) ? (FRAME_TFF(f) ? 't' : 'b') : 'p';
       AVRational sar = f->sample_aspect_ratio.num > 0
                            ? f->sample_aspect_ratio
                            : (AVRational){0, 0};
@@ -262,11 +290,12 @@ int cmd_decode(const Args &a) {
     int64_t p90 = pts == AV_NOPTS_VALUE
                       ? -1
                       : av_rescale_q(pts, vst->time_base, tb90k);
-    int64_t d90 = f->pkt_duration > 0
-                      ? av_rescale_q(f->pkt_duration, vst->time_base, tb90k)
+    int64_t d90 = FRAME_DURATION(f) > 0
+                      ? av_rescale_q(FRAME_DURATION(f), vst->time_base,
+                                     tb90k)
                       : dur90k_cfr;
     y4m.frame(src->data[0], src->linesize[0], src->data[1], src->data[2],
-              src->linesize[1], a.ts ? p90 : -1, d90);
+              src->linesize[1], a.ts, p90, d90);
     if (flog) fprintf(flog, "%lld %lld\n", (long long)p90, (long long)d90);
   };
 
@@ -590,8 +619,7 @@ int cmd_encode(const Args &a) {
       vf->pts = n;
       video_t = n * in.fd / (double)in.fn;
     }
-    vf->interlaced_frame = ilaced;
-    vf->top_field_first = tff;
+    SET_FRAME_INTERLACED(vf, ilaced, tff);
     pump_audio(video_t);
     check(avcodec_send_frame(vc, vf), "send video frame");
     mux_from(vc, vs);

@@ -124,3 +124,18 @@ def test_frameclock_log_shorter_than_stream():
                               log=[(0, 2002), (2002, 2002)], log_rate=TICKS)
     s, e = clock.fields(5, 0)
     assert (s, e) == (10, 12)
+
+
+def test_frame_clock_seconds_rebased_to_stream_start():
+    """A log starting at a nonzero container pts (MPEG-TS offset) must not
+    shift the -ss/-se window: seconds() is stream-relative."""
+    from fractions import Fraction
+
+    from cvsim_tpu.host import timing
+
+    base = 126_000_000           # 1400 s at 90 kHz
+    log = [(base + k * 3003, 3003) for k in range(10)]
+    clock = timing.FrameClock(Fraction(30000, 1001), Fraction(60000, 1001),
+                              log=log, log_rate=90000)
+    assert clock.seconds(0) == 0.0
+    assert abs(clock.seconds(3) - 3 * 3003 / 90000) < 1e-9
