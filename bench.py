@@ -301,8 +301,13 @@ def e2e_daemon_fields_per_sec() -> float:
         for rep in range(2):
             out = os.path.join(tmp, f"out{rep}.y4m")
             t0 = time.time()
+            # -S: the -via client is stdlib-only (dispatched in
+            # __main__.py before any heavy import); skipping site
+            # bypasses this host's sitecustomize, which imports jax into
+            # every interpreter (~11 s) — the daemon row should measure
+            # the daemon, not the host's interpreter boot tax.
             subprocess.run(
-                [sys.executable, "-m", "cvsim_tpu", "-via", sock,
+                [sys.executable, "-S", "-m", "cvsim_tpu", "-via", sock,
                  "to-composite", "-i", clip, "-o", out,
                  "-vhs", "-vhs-speed", "ep"],
                 check=True, cwd=REPO, stdout=subprocess.DEVNULL,

@@ -15,6 +15,12 @@ docs/STATUS.md "first-fetch stall"). A resident server pays that once:
 even the FIRST client command streams at link speed. Every subsequent
 invocation of any tool skips interpreter + jax init + program load.
 
+The `-via` client is stdlib-only and is dispatched from __main__.py
+before any heavy import, so `python -S -m cvsim_tpu -via ...` works and
+starts in ~50 ms even on hosts whose sitecustomize front-loads jax into
+every interpreter (this is the recommended client invocation on such
+hosts; measured 11.8 s -> 0.2 s client startup).
+
 Protocol (line-JSON over SOCK_STREAM): client sends {"argv": [...],
 "cwd": "..."}, server streams {"err": "..."} progress lines and one final
 {"rc": N}. Commands run one at a time (one device), in the client's
@@ -197,7 +203,13 @@ def run_via(sock_path: str, argv) -> int:
     _via_threads.add(ident)
     try:
         with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
-            s.connect(sock_path)
+            try:
+                s.connect(sock_path)
+            except OSError as e:
+                print(f"cvsim -via: cannot reach server at {sock_path}: {e}"
+                      "\n(start one with: cvsim serve -prime &)",
+                      file=sys.stderr)
+                return 1
             s.sendall((json.dumps({"argv": list(argv),
                                    "cwd": os.getcwd()}) + "\n").encode())
             f = s.makefile("rb")

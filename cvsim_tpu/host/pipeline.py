@@ -37,7 +37,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 from cvsim_tpu.config import RunConfig
-from cvsim_tpu.host import fieldops, timing, wavio, y4m
+from cvsim_tpu.host import fieldops, progcache, timing, wavio, y4m
 from cvsim_tpu.host.batching import (
     FieldBatcher,
     hscale_consts,
@@ -134,7 +134,19 @@ class CompositePipeline:
         prog = self._programs.get(cache_key)
         if prog is not None:
             return prog
+        # process-wide second level: a resident daemon constructs a fresh
+        # pipeline per command; identical (cfg, geometry) must reuse the
+        # compiled (and server-side loaded) program, not re-compile
+        prog = progcache.get_or_build(
+            ("gen1", self.cfg, self.gop, str(self.dtype)) + cache_key,
+            lambda: self._build_gop_program_uncached(
+                src_h, src_w, chroma_h, chroma_w, src_interlaced, src_tff))
+        self._programs[cache_key] = prog
+        return prog
 
+    def _build_gop_program_uncached(self, src_h: int, src_w: int,
+                                    chroma_h: int, chroma_w: int,
+                                    src_interlaced: bool, src_tff: bool):
         cfg = self.cfg
         out = cfg.output
         ccfg = cfg.composite
@@ -224,7 +236,6 @@ class CompositePipeline:
                 (sds((l, out.width), jnp.int32), sds((l, w2), jnp.int32),
                  sds((l, w2), jnp.int32))).compile()
 
-        self._programs[cache_key] = gop_step
         return gop_step
 
     def _dummy_batch(self, src_h: int, src_w: int, chroma_h: int,

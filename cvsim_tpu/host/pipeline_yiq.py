@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from cvsim_tpu.config import RunConfig
-from cvsim_tpu.host import timing, y4m
+from cvsim_tpu.host import progcache, timing, y4m
 from cvsim_tpu.host.colorconv import (
     hscale_bilinear_np,
     rgb_to_yuv601_np,
@@ -69,27 +69,35 @@ class YIQPipeline:
 
         ccfg = cfg.composite
 
-        @jax.jit
-        def process_batch(rgb_fields, fieldno, parity, key):
-            # wire format is uint8 (1/4 the H2D bytes of int32 on the
-            # link-bound e2e path); widen on device
-            rgb_fields = rgb_fields.astype(jnp.int32)
-            if cfg.enable_composite_emulation:
-                return yiq.composite_layer_rgb_auto(
-                    rgb_fields, fieldno, parity, key, cfg=ccfg, dtype=dtype)
-            return rgb_fields.astype(jnp.uint8)
+        def build():
+            @jax.jit
+            def process_batch(rgb_fields, fieldno, parity, key):
+                # wire format is uint8 (1/4 the H2D bytes of int32 on the
+                # link-bound e2e path); widen on device
+                rgb_fields = rgb_fields.astype(jnp.int32)
+                if cfg.enable_composite_emulation:
+                    return yiq.composite_layer_rgb_auto(
+                        rgb_fields, fieldno, parity, key, cfg=ccfg,
+                        dtype=dtype)
+                return rgb_fields.astype(jnp.uint8)
 
-        if os.environ.get("CVSIM_AOT", "1") == "1":
-            # explicit lower().compile(): the lazy jit-call path defers the
-            # remote program load to the first fetch, measured at 50-400s
-            # on tunneled hosts (same diagnosis as CompositePipeline)
-            l, w = out.height // 2, out.width
-            sds = jax.ShapeDtypeStruct
-            process_batch = process_batch.lower(
-                sds((gop, l, w, 3), jnp.uint8), sds((gop,), jnp.int32),
-                sds((gop,), jnp.int32), self.key).compile()
+            if os.environ.get("CVSIM_AOT", "1") == "1":
+                # explicit lower().compile(): the lazy jit-call path defers
+                # the remote program load to the first fetch, measured at
+                # 50-400s on tunneled hosts (same diagnosis as
+                # CompositePipeline)
+                l, w = out.height // 2, out.width
+                sds = jax.ShapeDtypeStruct
+                process_batch = process_batch.lower(
+                    sds((gop, l, w, 3), jnp.uint8), sds((gop,), jnp.int32),
+                    sds((gop,), jnp.int32), self.key).compile()
+            return process_batch
 
-        self._process_batch = process_batch
+        # process-wide cache: a resident daemon builds a fresh pipeline per
+        # command; identical (cfg, gop, dtype) must reuse the compiled
+        # program instead of paying a fresh remote compile each invocation
+        self._process_batch = progcache.get_or_build(
+            ("gen2", cfg, gop, str(dtype)), build)
         self._warm = False
 
     def _flush(self, batch, writer, final=False):

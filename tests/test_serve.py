@@ -46,6 +46,42 @@ def test_serve_roundtrip(tmp_path):
         np.testing.assert_array_equal(sv, dv)
 
 
+def test_via_thin_client_no_site(tmp_path):
+    """The -via client dispatches in __main__.py before any heavy import,
+    so `python -S -m cvsim_tpu -via ...` (no site init at all) must work.
+    This is the documented client invocation on hosts whose sitecustomize
+    front-loads jax into every interpreter."""
+    import subprocess
+    import sys
+
+    sock = str(tmp_path / "cvsim.sock")
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out = str(tmp_path / "out.y4m")
+    t = threading.Thread(
+        target=serve.run_serve,
+        args=(["-socket", sock, "-one-shot"],), daemon=True)
+    t.start()
+    for _ in range(200):
+        if os.path.exists(sock):
+            break
+        threading.Event().wait(0.05)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-S", "-m", "cvsim_tpu", "-via", sock,
+         "posterize", "-i", src, "-o", out, "-width", "64"],
+        cwd=repo, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    t.join(timeout=30)
+    _, frames = read_all(out)
+    assert len(frames) > 0
+
+
+def test_via_connect_error_is_friendly(tmp_path, capsys):
+    rc = main(["-via", str(tmp_path / "nope.sock"), "posterize"])
+    assert rc == 1
+    assert "cannot reach server" in capsys.readouterr().err
+
+
 def test_via_reports_unknown_command(tmp_path):
     sock = str(tmp_path / "cvsim.sock")
     t = threading.Thread(
