@@ -22,8 +22,14 @@ Extracted units:
   composite_video_chroma_lowpass .. composite_ntsc_to_yuv and
   composite_video_process .. black_key_feedback (:99-131, :335-553,
   :629-999) — the per-field YUV 4:2:2 chain plus black-key, driven as
-  Y/U/V planes in -> planes out. (composite_audio_process is skipped: it
-  reads the tool-global filter-bank state wired up in main().)
+  Y/U/V planes in -> planes out.
+- audio (ffmpeg_to_composite.cpp): dBFS + LowpassFilter + the
+  HiLoPair/HiLoPass/HiLoSample/HiLoComboPass filter-bank classes +
+  composite_audio_process (:76-83, :99-228, :344-351, :555-627), with an
+  original driver that mirrors main()'s filter wiring (:2126-2162) and
+  hiss-level derivation (:1629); driven as s16le interleaved in -> out.
+  Drive with hiss_db very negative (level truncates to 0): hiss consumes
+  libc rand().
 
 Noise stages call libc rand(); the harness is meant for the deterministic
 stages, so drive it with noise/chroma_noise/chroma_phase_noise/chroma_loss
@@ -246,6 +252,88 @@ int main(int argc, char **argv) {
 """
 
 
+_AUDIO_PROLOGUE = r"""
+#include <vector>
+#include <cassert>
+"""
+
+# Globals composite_audio_process reads that main() normally wires up; the
+# class slice ends right before the reference's own declarations of these
+# (ffmpeg_to_composite.cpp:230-234, :297-313, :325), so re-declare them
+# with the reference defaults.
+_AUDIO_GLOBALS = r"""
+HiLoComboPass audio_hilopass;
+LowpassFilter audio_linear_preemphasis_pre[2];
+LowpassFilter audio_linear_preemphasis_post[2];
+int output_audio_channels = 2;
+int output_audio_rate = 44100;
+double output_audio_hiss_db = -72;
+double output_audio_linear_buzz = -42;
+double output_audio_highpass = 20;
+double output_audio_lowpass = 20000;
+double vhs_linear_high_boost = 0.25;
+bool output_vhs_hifi = true;
+bool emulating_preemphasis = true;
+bool emulating_deemphasis = true;
+int output_audio_hiss_level = 0;
+
+static void audio_apply_kv(const char *k, const char *v) {
+    double d = atof(v);
+    long n = atol(v);
+    if (!strcmp(k, "ntsc")) { output_ntsc = n != 0; output_pal = n == 0; }
+    else if (!strcmp(k, "hifi")) output_vhs_hifi = n != 0;
+    else if (!strcmp(k, "buzz_db")) output_audio_linear_buzz = d;
+    else if (!strcmp(k, "hiss_db")) output_audio_hiss_db = d;
+    else if (!strcmp(k, "boost")) vhs_linear_high_boost = d;
+    else if (!strcmp(k, "preemph")) emulating_preemphasis = n != 0;
+    else if (!strcmp(k, "deemph")) emulating_deemphasis = n != 0;
+    else if (!strcmp(k, "highpass")) output_audio_highpass = d;
+    else if (!strcmp(k, "lowpass")) output_audio_lowpass = d;
+    else { fprintf(stderr, "unknown key %s\n", k); exit(2); }
+}
+"""
+
+_AUDIO_MAIN = r"""
+int main(int argc, char **argv) {
+    // argv: channels rate nsamples key=val...
+    // stdin: s16le interleaved; stdout: s16le interleaved (processed)
+    output_audio_channels = atoi(argv[1]);
+    output_audio_rate = atoi(argv[2]);
+    long n = atol(argv[3]);
+    for (int i = 4; i < argc; i++) {
+        char *eq = strchr(argv[i], '=');
+        if (!eq) { fprintf(stderr, "bad arg %s\n", argv[i]); exit(2); }
+        *eq = 0;
+        audio_apply_kv(argv[i], eq + 1);
+    }
+    // mirror main()'s audio filter wiring (ffmpeg_to_composite.cpp:2126-2162)
+    audio_hilopass.setChannels(output_audio_channels);
+    audio_hilopass.setRate(output_audio_rate);
+    audio_hilopass.setCutoff(output_audio_lowpass, output_audio_highpass);
+    audio_hilopass.setPasses(6);
+    audio_hilopass.init();
+    for (unsigned int i = 0; i < 2; i++)
+        audio_post_vhs_boost[i].setFilter(output_audio_rate, 10000);
+    double emph_cut = output_vhs_hifi ? 16000 : 8000;   // :2139-2162
+    if (emulating_preemphasis)
+        for (int i = 0; i < output_audio_channels; i++)
+            audio_linear_preemphasis_pre[i].setFilter(
+                output_audio_rate, emph_cut);
+    if (emulating_deemphasis)
+        for (int i = 0; i < output_audio_channels; i++)
+            audio_linear_preemphasis_post[i].setFilter(
+                output_audio_rate, emph_cut);
+    output_audio_hiss_level = dBFS(output_audio_hiss_db) * 5000;  // :1629
+
+    int16_t *buf = new int16_t[(size_t)n * output_audio_channels];
+    read_exact(buf, (size_t)n * output_audio_channels * 2);
+    composite_audio_process(buf, (unsigned int)n);
+    fwrite(buf, 2, (size_t)n * output_audio_channels, stdout);
+    return 0;
+}
+"""
+
+
 # ----------------------------------------------------------------- compilers
 
 def _compose_gen2() -> str:
@@ -268,6 +356,19 @@ def _compose_gen1() -> str:
                       _APPLY_KV, _GEN1_MAIN])
 
 
+def _compose_audio() -> str:
+    text = open(os.path.join(REF_DIR, "ffmpeg_to_composite.cpp")).read()
+    dbfs = _slice_between(text, "double dBFS", "// lowpass filter")
+    lowpass = _slice_between(text, "class LowpassFilter", "class HiLoPair")
+    hilo = _slice_between(text, "class HiLoPair", "HiLoComboPass\t")
+    clamps = _slice_between(text, "static inline int clampu8",
+                            "void composite_video_chroma_lowpass")
+    audio = _slice_between(text, "static unsigned long long audio_proc_count",
+                           "void composite_video_process")
+    return "\n".join([_COMMON_PROLOGUE, _AUDIO_PROLOGUE, dbfs, lowpass, hilo,
+                      _AUDIO_GLOBALS, clamps, _APPLY_KV, audio, _AUDIO_MAIN])
+
+
 def _build(tag: str, source: str) -> str:
     os.makedirs(_CACHE_DIR, exist_ok=True)
     digest = hashlib.sha256(source.encode()).hexdigest()[:16]
@@ -288,6 +389,10 @@ def gen2_exe() -> str:
 
 def gen1_exe() -> str:
     return _build("ref_gen1", _compose_gen1())
+
+
+def audio_exe() -> str:
+    return _build("ref_audio", _compose_audio())
 
 
 # ------------------------------------------------------------------- drivers
@@ -327,6 +432,20 @@ def run_gen1(y: np.ndarray, u: np.ndarray, v: np.ndarray, field: int,
     return (buf[:ny].reshape(h, w).copy(),
             buf[ny:ny + nc].reshape(h, w // 2).copy(),
             buf[ny + nc:].reshape(h, w // 2).copy())
+
+
+def run_audio(samples: np.ndarray, rate: int, **cfg) -> np.ndarray:
+    """Run the reference composite_audio_process on [N, C] int16 interleaved
+    samples. cfg keys: ntsc, hifi, buzz_db, hiss_db, boost, preemph, deemph,
+    highpass, lowpass. Pass hiss_db <= -300 (level truncates to 0): hiss
+    consumes libc rand() and is excluded from deterministic crosschecks."""
+    n, c = samples.shape
+    exe = audio_exe()
+    out = subprocess.run(
+        [exe, str(c), str(rate), str(n)] + _kv_args(cfg),
+        input=np.ascontiguousarray(samples, np.int16).tobytes(),
+        stdout=subprocess.PIPE, check=True)
+    return np.frombuffer(out.stdout, np.int16).reshape(n, c).copy()
 
 
 def run_gen1_blackkey(y, u, v, fy, fu, fv, field: int, fieldno: int,

@@ -68,6 +68,23 @@ def test_linear_mono_with_buzz_and_boost():
     assert_close_lsb(got, want)
 
 
+def test_linear_pal_buzz_matches_golden():
+    """PAL buzz timing: hsync 15625 Hz, 625 lines, vpulse<12, hpulse 4.0us
+    (ffmpeg_to_composite.cpp:561-564); the oracle itself is pinned bit-exact
+    against the compiled reference in test_ref_crosscheck.py."""
+    cfg = AudioConfig(hiss_db=-1000.0, vhs_hifi=False, ntsc=False,
+                      channels=2, rate=48000, lowpass_hz=10000.0,
+                      highpass_hz=100.0, preemphasis_cut_hz=8000.0)
+    audio = rand_audio(3000, 2, seed=5)
+    got, _ = run_chain(audio, cfg)
+    want = ref.audio_chain_scalar(
+        audio, cfg.rate, 2, cfg.lowpass_hz, cfg.highpass_hz,
+        preemph=True, deemph=True, pre_cut=8000.0, vhs_hifi=False,
+        buzz_db=cfg.linear_buzz_db, high_boost=cfg.linear_high_boost,
+        ntsc=False)
+    assert_close_lsb(got, want)
+
+
 def test_streaming_chunks_match_whole():
     """Chunked processing with carried state == one-shot processing."""
     cfg = AudioConfig(hiss_db=-1000.0, vhs_hifi=False, channels=2,

@@ -337,3 +337,60 @@ def test_gen2_head_switch_negative_point_tall_raster():
     got = ref_extract.run_gen2(rgb, 0, 3, **cfg)
     want = _oracle_gen2(rgb, 0, 3, cfg)
     np.testing.assert_array_equal(got[0::2], want[0::2])
+
+
+# ------------------------------------------------------------------- audio
+
+AUDIO_CASES = [
+    # (name, channels, rate, cfg-for-ref, kwargs-for-oracle)
+    ("hifi_stereo_defaults", 2, 44100, {}, {}),
+    ("hifi_no_emphasis", 2, 44100,
+     {"preemph": False, "deemph": False},
+     {"preemph": False, "deemph": False}),
+    ("linear_sp_mono", 1, 44100,
+     {"hifi": False, "highpass": 100.0, "lowpass": 10000.0},
+     {"vhs_hifi": False, "highpass_hz": 100.0, "lowpass_hz": 10000.0,
+      "pre_cut": 8000.0}),
+    ("linear_ep_mono", 1, 44100,
+     {"hifi": False, "highpass": 100.0, "lowpass": 4000.0},
+     {"vhs_hifi": False, "highpass_hz": 100.0, "lowpass_hz": 4000.0,
+      "pre_cut": 8000.0}),
+    # PAL buzz timing: hsync 15625 Hz, 625 lines, vpulse<12, hpulse 4.0us
+    ("linear_pal_stereo", 2, 48000,
+     {"hifi": False, "ntsc": False, "highpass": 100.0, "lowpass": 10000.0},
+     {"vhs_hifi": False, "ntsc": False, "highpass_hz": 100.0,
+      "lowpass_hz": 10000.0, "pre_cut": 8000.0}),
+    # loud buzz + hot input drives the +-1.0 analog clip
+    ("linear_loud_buzz_clip", 1, 22050,
+     {"hifi": False, "buzz_db": -6.0, "highpass": 100.0, "lowpass": 10000.0},
+     {"vhs_hifi": False, "buzz_db": -6.0, "highpass_hz": 100.0,
+      "lowpass_hz": 10000.0, "pre_cut": 8000.0}),
+    # boost off, asymmetric emphasis (pre on / de off)
+    ("linear_boost_off_pre_only", 2, 44100,
+     {"hifi": False, "boost": 0.0, "deemph": False,
+      "highpass": 100.0, "lowpass": 7000.0},
+     {"vhs_hifi": False, "high_boost": 0.0, "deemph": False,
+      "highpass_hz": 100.0, "lowpass_hz": 7000.0, "pre_cut": 8000.0}),
+]
+
+
+@pytest.mark.parametrize("name,channels,rate,rcfg,ocfg", AUDIO_CASES,
+                         ids=[c[0] for c in AUDIO_CASES])
+def test_audio_chain_matches_reference(name, channels, rate, rcfg, ocfg):
+    """composite_audio_process (ffmpeg_to_composite.cpp:558-627) compiled
+    from the reference vs the scalar oracle, bit-exact on int16 output.
+    hiss_db=-300 truncates output_audio_hiss_level to 0 (:1629), keeping
+    libc rand() out of the loop; everything else is deterministic doubles,
+    including the interleaved-stream pre/deemphasis quirk and the
+    16x-oversampled sync buzz."""
+    rng = np.random.default_rng(zlib.crc32(name.encode()) & 0xFFFF)
+    loud = 30000 if "clip" in name else 24000
+    s = rng.integers(-loud, loud, size=(512, channels)).astype(np.int16)
+    got = ref_extract.run_audio(s, rate, hiss_db=-300.0, **rcfg)
+    okw = dict(ocfg)
+    okw.setdefault("highpass_hz", 20.0)
+    okw.setdefault("lowpass_hz", 20000.0)
+    want = ref.audio_chain_scalar(
+        s.astype(np.int64), rate, channels,
+        okw.pop("lowpass_hz"), okw.pop("highpass_hz"), hiss_level=0, **okw)
+    np.testing.assert_array_equal(got.astype(np.int64), want, err_msg=name)
