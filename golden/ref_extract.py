@@ -356,6 +356,84 @@ def _compose_gen1() -> str:
                       _APPLY_KV, _GEN1_MAIN])
 
 
+_CASSETTE_GLOBALS = r"""
+HiLoComboPass audio_hilopass;
+LowpassFilter audio_linear_preemphasis_pre[2];
+LowpassFilter audio_linear_preemphasis_post[2];
+int output_audio_channels = 2;
+int output_audio_rate = 44100;
+double output_audio_hiss_db = -72;
+double output_audio_highpass = 20;
+double output_audio_lowpass = 20000;
+bool emulating_preemphasis = true;
+bool emulating_deemphasis = true;
+int output_audio_hiss_level = 0;
+"""
+
+_CASSETTE_MAIN = r"""
+static void cassette_apply_kv(const char *k, const char *v) {
+    double d = atof(v);
+    long n = atol(v);
+    if (!strcmp(k, "hiss_db")) output_audio_hiss_db = d;
+    else if (!strcmp(k, "preemph")) emulating_preemphasis = n != 0;
+    else if (!strcmp(k, "deemph")) emulating_deemphasis = n != 0;
+    else if (!strcmp(k, "highpass")) output_audio_highpass = d;
+    else if (!strcmp(k, "lowpass")) output_audio_lowpass = d;
+    else if (!strcmp(k, "head_tilt")) head_tilt = d;
+    else if (!strcmp(k, "waver")) head_tilt_waver = d;
+    else if (!strcmp(k, "mono")) mono_downmix = n != 0;
+    else { fprintf(stderr, "unknown key %s\n", k); exit(2); }
+}
+
+int main(int argc, char **argv) {
+    // argv: channels rate nsamples key=val...
+    // stdin: s16le interleaved; stdout: s16le interleaved (processed)
+    output_audio_channels = atoi(argv[1]);
+    output_audio_rate = atoi(argv[2]);
+    long n = atol(argv[3]);
+    for (int i = 4; i < argc; i++) {
+        char *eq = strchr(argv[i], '=');
+        if (!eq) { fprintf(stderr, "bad arg %s\n", argv[i]); exit(2); }
+        *eq = 0;
+        cassette_apply_kv(argv[i], eq + 1);
+    }
+    // mirror main()'s audio filter wiring (ffmpeg_cassette.cpp:864-880)
+    audio_hilopass.setChannels(output_audio_channels);
+    audio_hilopass.setRate(output_audio_rate);
+    audio_hilopass.setCutoff(output_audio_lowpass, output_audio_highpass);
+    audio_hilopass.setPasses(6);
+    audio_hilopass.init();
+    if (emulating_preemphasis)
+        for (int i = 0; i < output_audio_channels; i++)
+            audio_linear_preemphasis_pre[i].setFilter(output_audio_rate, 4000);
+    if (emulating_deemphasis)
+        for (int i = 0; i < output_audio_channels; i++)
+            audio_linear_preemphasis_post[i].setFilter(
+                output_audio_rate, 4000);
+    output_audio_hiss_level = (int)(dBFS(output_audio_hiss_db) * 5000);
+
+    int16_t *buf = new int16_t[(size_t)n * output_audio_channels];
+    read_exact(buf, (size_t)n * output_audio_channels * 2);
+    composite_audio_process(buf, (unsigned int)n);
+    fwrite(buf, 2, (size_t)n * output_audio_channels, stdout);
+    return 0;
+}
+"""
+
+
+def _compose_cassette() -> str:
+    text = open(os.path.join(REF_DIR, "ffmpeg_cassette.cpp")).read()
+    dbfs = _slice_between(text, "double dBFS", "// lowpass filter")
+    lowpass = _slice_between(text, "class LowpassFilter", "class HiLoPair")
+    hilo = _slice_between(text, "class HiLoPair", "HiLoComboPass\t")
+    # clamps + ConvolutionMap + head-tilt globals + composite_audio_process
+    # are contiguous (:258-416)
+    proc = _slice_between(text, "static inline int clampu8",
+                          "static void help")
+    return "\n".join([_COMMON_PROLOGUE, _AUDIO_PROLOGUE, dbfs, lowpass, hilo,
+                      _CASSETTE_GLOBALS, _APPLY_KV, proc, _CASSETTE_MAIN])
+
+
 def _compose_audio() -> str:
     text = open(os.path.join(REF_DIR, "ffmpeg_to_composite.cpp")).read()
     dbfs = _slice_between(text, "double dBFS", "// lowpass filter")
@@ -393,6 +471,10 @@ def gen1_exe() -> str:
 
 def audio_exe() -> str:
     return _build("ref_audio", _compose_audio())
+
+
+def cassette_exe() -> str:
+    return _build("ref_cassette", _compose_cassette())
 
 
 # ------------------------------------------------------------------- drivers
@@ -441,6 +523,19 @@ def run_audio(samples: np.ndarray, rate: int, **cfg) -> np.ndarray:
     consumes libc rand() and is excluded from deterministic crosschecks."""
     n, c = samples.shape
     exe = audio_exe()
+    out = subprocess.run(
+        [exe, str(c), str(rate), str(n)] + _kv_args(cfg),
+        input=np.ascontiguousarray(samples, np.int16).tobytes(),
+        stdout=subprocess.PIPE, check=True)
+    return np.frombuffer(out.stdout, np.int16).reshape(n, c).copy()
+
+
+def run_cassette(samples: np.ndarray, rate: int, **cfg) -> np.ndarray:
+    """Run the reference ffmpeg_cassette composite_audio_process (:334-416)
+    on [N, C] int16 interleaved samples. cfg keys: head_tilt, waver, mono,
+    preemph, deemph, highpass, lowpass, hiss_db (pass <= -300: rand())."""
+    n, c = samples.shape
+    exe = cassette_exe()
     out = subprocess.run(
         [exe, str(c), str(rate), str(n)] + _kv_args(cfg),
         input=np.ascontiguousarray(samples, np.int16).tobytes(),

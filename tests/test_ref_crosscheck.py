@@ -394,3 +394,50 @@ def test_audio_chain_matches_reference(name, channels, rate, rcfg, ocfg):
         s.astype(np.int64), rate, channels,
         okw.pop("lowpass_hz"), okw.pop("highpass_hz"), hiss_level=0, **okw)
     np.testing.assert_array_equal(got.astype(np.int64), want, err_msg=name)
+
+
+CASSETTE_PRESETS = {   # ffmpeg_cassette.cpp:521-556: lowpass, highpass, waver, tilt
+    0: (16000.0, 100.0, 0.55, 3.5),
+    1: (14000.0, 100.0, 0.6, 6.0),
+    2: (10000.0, 100.0, 0.5, 3.0),
+    3: (16000.0, 20.0, 0.75, 10.0),
+    4: (16000.0, 20.0, 0.25, 1.1),
+}
+
+CASSETTE_CASES = [
+    # (name, channels, rate, preset-or-None, mono, extra-ref, extra-oracle)
+    ("cassette_defaults", 2, 44100, None, False, {}, {}),
+    ("cassette_preset0", 2, 44100, 0, False, {}, {}),
+    ("cassette_preset1_mono", 2, 44100, 1, True, {}, {}),
+    ("cassette_preset2_mono", 2, 48000, 2, True, {}, {}),
+    ("cassette_preset3_worst", 2, 44100, 3, False, {}, {}),
+    ("cassette_preset4_best", 2, 22050, 4, False, {}, {}),
+    ("cassette_no_emphasis", 2, 44100, 0, False,
+     {"preemph": False, "deemph": False},
+     {"preemph": False, "deemph": False}),
+    ("cassette_1ch", 1, 44100, 2, False, {}, {}),
+]
+
+
+@pytest.mark.parametrize("name,channels,rate,preset,mono,rcfg,ocfg",
+                         CASSETTE_CASES, ids=[c[0] for c in CASSETTE_CASES])
+def test_cassette_chain_matches_reference(name, channels, rate, preset, mono,
+                                          rcfg, ocfg):
+    """ffmpeg_cassette.cpp composite_audio_process (:334-416) compiled from
+    the reference vs the scalar oracle, bit-exact on int16 output: the
+    per-sample-rebuilt triangular head-tilt FIR with sinusoidal waver and
+    per-channel +-lr_delay skew, the 4 kHz pre/deemphasis (interleaved-stream
+    quirk), the mono downmix's truncating (a+b)/2, all 5 presets."""
+    rng = np.random.default_rng(zlib.crc32(name.encode()) & 0xFFFF)
+    s = rng.integers(-24000, 24000, size=(400, channels)).astype(np.int16)
+    lowpass, highpass, waver, tilt = (
+        CASSETTE_PRESETS[preset] if preset is not None
+        else (20000.0, 20.0, 0.5, 0.2))
+    got = ref_extract.run_cassette(
+        s, rate, hiss_db=-300.0, lowpass=lowpass, highpass=highpass,
+        waver=waver, head_tilt=tilt, mono=mono, **rcfg)
+    want = ref.cassette_chain_scalar(
+        s.astype(np.int64), rate, channels, lowpass, highpass,
+        head_tilt=tilt, head_tilt_waver=waver, pre_cut=4000.0,
+        hiss_level=0, mono_downmix=mono, **ocfg)
+    np.testing.assert_array_equal(got.astype(np.int64), want, err_msg=name)
