@@ -356,6 +356,161 @@ def _compose_gen1() -> str:
                       _APPLY_KV, _GEN1_MAIN])
 
 
+# --------------------------------------------------------------- pixel tools
+#
+# The sibling tools' composite_layer functions are tiny pure per-pixel
+# kernels over ARGB uint32 frames; each gets its own stub InputFile with
+# exactly the fields the kernel reads, and a driver speaking RGB24 planes
+# over stdin/stdout (packed to/from the uint32 layout the kernels assume).
+
+_PIXEL_PROLOGUE = r"""
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cstdint>
+#include <cmath>
+using namespace std;
+
+struct AVFrame {
+    int width;
+    int height;
+    int linesize[4];
+    unsigned char *data[4];
+};
+
+static void read_exact(void *p, size_t n) {
+    if (fread(p, 1, n, stdin) != n) { fprintf(stderr, "short read\n"); exit(3); }
+}
+
+static unsigned char *read_rgb_frame(int w, int h, uint32_t **outbuf) {
+    unsigned char *rgb = new unsigned char[(size_t)w * h * 3];
+    read_exact(rgb, (size_t)w * h * 3);
+    uint32_t *buf = new uint32_t[(size_t)w * h];
+    for (long k = 0; k < (long)w * h; k++)
+        buf[k] = ((uint32_t)rgb[k*3] << 16) | ((uint32_t)rgb[k*3+1] << 8)
+                 | (uint32_t)rgb[k*3+2];
+    *outbuf = buf;
+    return rgb;
+}
+
+static void write_rgb_frame(int w, int h, const uint32_t *buf,
+                            unsigned char *rgb) {
+    for (long k = 0; k < (long)w * h; k++) {
+        rgb[k*3]   = (buf[k] >> 16) & 0xFF;
+        rgb[k*3+1] = (buf[k] >> 8) & 0xFF;
+        rgb[k*3+2] = buf[k] & 0xFF;
+    }
+    fwrite(rgb, 1, (size_t)w * h * 3, stdout);
+}
+"""
+
+_POSTERIZE_STUB = r"""
+struct InputFile { int threshhold; };
+"""
+
+_POSTERIZE_MAIN = r"""
+int main(int argc, char **argv) {
+    // argv: w h threshhold   stdin: src RGB24   stdout: RGB24
+    int w = atoi(argv[1]), h = atoi(argv[2]);
+    InputFile inf; inf.threshhold = atoi(argv[3]);
+    uint32_t *sbuf; unsigned char *rgb = read_rgb_frame(w, h, &sbuf);
+    uint32_t *dbuf = new uint32_t[(size_t)w * h];
+    AVFrame src = {w, h, {w*4,0,0,0}, {(unsigned char*)sbuf,0,0,0}};
+    AVFrame dst = {w, h, {w*4,0,0,0}, {(unsigned char*)dbuf,0,0,0}};
+    composite_layer(&dst, &src, inf);
+    write_rgb_frame(w, h, dbuf, rgb);
+    return 0;
+}
+"""
+
+_COLORMAP_STUB = r"""
+struct InputFile {};
+uint32_t colormap[256];
+"""
+
+_COLORMAP_MAIN = r"""
+int main(int argc, char **argv) {
+    // argv: w h mw mh   stdin: map RGB24 then src RGB24   stdout: RGB24
+    int w = atoi(argv[1]), h = atoi(argv[2]);
+    int mw = atoi(argv[3]), mh = atoi(argv[4]);
+    InputFile inf;
+    uint32_t *mbuf; unsigned char *mrgb = read_rgb_frame(mw, mh, &mbuf);
+    AVFrame mapf = {mw, mh, {mw*4,0,0,0}, {(unsigned char*)mbuf,0,0,0}};
+    take_colormap(&mapf, inf);
+    uint32_t *sbuf; unsigned char *rgb = read_rgb_frame(w, h, &sbuf);
+    uint32_t *dbuf = new uint32_t[(size_t)w * h];
+    AVFrame src = {w, h, {w*4,0,0,0}, {(unsigned char*)sbuf,0,0,0}};
+    AVFrame dst = {w, h, {w*4,0,0,0}, {(unsigned char*)dbuf,0,0,0}};
+    composite_layer(&dst, &src, inf);
+    write_rgb_frame(w, h, dbuf, rgb);
+    return 0;
+}
+"""
+
+_COLORKEY_STUB = r"""
+struct InputFile {
+    uint32_t color;
+    int threshhold;
+    unsigned int fade;
+    unsigned int xdivr;
+    bool invert;
+    unsigned int noisekey;
+};
+"""
+
+_COLORKEY_MAIN = r"""
+int main(int argc, char **argv) {
+    // argv: w h color thr inv noisekey fade xdivr
+    // stdin: dst (canvas) RGB24 then src RGB24   stdout: keyed canvas RGB24
+    int w = atoi(argv[1]), h = atoi(argv[2]);
+    InputFile inf;
+    inf.color = (uint32_t)strtoul(argv[3], NULL, 0);
+    inf.threshhold = atoi(argv[4]);
+    inf.invert = atoi(argv[5]) != 0;
+    inf.noisekey = (unsigned int)atoi(argv[6]);
+    inf.fade = (unsigned int)atoi(argv[7]);
+    inf.xdivr = (unsigned int)atoi(argv[8]);
+    uint32_t *dbuf; unsigned char *rgb = read_rgb_frame(w, h, &dbuf);
+    uint32_t *sbuf; unsigned char *rgb2 = read_rgb_frame(w, h, &sbuf);
+    AVFrame src = {w, h, {w*4,0,0,0}, {(unsigned char*)sbuf,0,0,0}};
+    AVFrame dst = {w, h, {w*4,0,0,0}, {(unsigned char*)dbuf,0,0,0}};
+    composite_layer(&dst, &src, inf);
+    write_rgb_frame(w, h, dbuf, rgb);
+    return 0;
+}
+"""
+
+_AVGDELAY_STUB = r"""
+struct InputFile { int newlevel; };
+size_t output_avstream_video_frame_delay = 1;
+"""
+
+_AVGDELAY_MAIN = r"""
+int main(int argc, char **argv) {
+    // argv: w h field delay newlevel
+    // stdin: dst (delayed) RGB24 then src RGB24   stdout: blended RGB24
+    int w = atoi(argv[1]), h = atoi(argv[2]);
+    unsigned long long field = strtoull(argv[3], NULL, 10);
+    output_avstream_video_frame_delay = (size_t)atol(argv[4]);
+    InputFile inf; inf.newlevel = atoi(argv[5]);
+    uint32_t *dbuf; unsigned char *rgb = read_rgb_frame(w, h, &dbuf);
+    uint32_t *sbuf; unsigned char *rgb2 = read_rgb_frame(w, h, &sbuf);
+    AVFrame src = {w, h, {w*4,0,0,0}, {(unsigned char*)sbuf,0,0,0}};
+    AVFrame dst = {w, h, {w*4,0,0,0}, {(unsigned char*)dbuf,0,0,0}};
+    composite_layer(&dst, &src, inf, field);
+    write_rgb_frame(w, h, dbuf, rgb);
+    return 0;
+}
+"""
+
+
+def _compose_pixel(src_name: str, stub: str, main_code: str,
+                   start: str = "// This code assumes ARGB") -> str:
+    text = open(os.path.join(REF_DIR, src_name)).read()
+    kernel = _slice_between(text, start, "int main(")
+    return "\n".join([_PIXEL_PROLOGUE, stub, kernel, main_code])
+
+
 _CASSETTE_GLOBALS = r"""
 HiLoComboPass audio_hilopass;
 LowpassFilter audio_linear_preemphasis_pre[2];
@@ -477,6 +632,27 @@ def cassette_exe() -> str:
     return _build("ref_cassette", _compose_cassette())
 
 
+def posterize_exe() -> str:
+    return _build("ref_posterize", _compose_pixel(
+        "ffmpeg_posterize.cpp", _POSTERIZE_STUB, _POSTERIZE_MAIN))
+
+
+def colormap_exe() -> str:
+    return _build("ref_colormap", _compose_pixel(
+        "ffmpeg_colormap.cpp", _COLORMAP_STUB, _COLORMAP_MAIN,
+        start="void take_colormap"))
+
+
+def colorkey_exe() -> str:
+    return _build("ref_colorkey", _compose_pixel(
+        "ffmpeg_colorkey.cpp", _COLORKEY_STUB, _COLORKEY_MAIN))
+
+
+def average_delay_exe() -> str:
+    return _build("ref_average_delay", _compose_pixel(
+        "ffmpeg_average_delay.cpp", _AVGDELAY_STUB, _AVGDELAY_MAIN))
+
+
 # ------------------------------------------------------------------- drivers
 
 def _kv_args(cfg: dict) -> list[str]:
@@ -528,6 +704,57 @@ def run_audio(samples: np.ndarray, rate: int, **cfg) -> np.ndarray:
         input=np.ascontiguousarray(samples, np.int16).tobytes(),
         stdout=subprocess.PIPE, check=True)
     return np.frombuffer(out.stdout, np.int16).reshape(n, c).copy()
+
+
+def _rgb_bytes(a: np.ndarray) -> bytes:
+    return np.ascontiguousarray(a, np.uint8).tobytes()
+
+
+def _rgb_from(stdout: bytes, h: int, w: int) -> np.ndarray:
+    return np.frombuffer(stdout, np.uint8).reshape(h, w, 3).copy()
+
+
+def run_posterize(rgb: np.ndarray, threshhold: int) -> np.ndarray:
+    h, w, _ = rgb.shape
+    out = subprocess.run(
+        [posterize_exe(), str(w), str(h), str(threshhold)],
+        input=_rgb_bytes(rgb), stdout=subprocess.PIPE, check=True)
+    return _rgb_from(out.stdout, h, w)
+
+
+def run_colormap(map_rgb: np.ndarray, rgb: np.ndarray) -> np.ndarray:
+    mh, mw, _ = map_rgb.shape
+    h, w, _ = rgb.shape
+    out = subprocess.run(
+        [colormap_exe(), str(w), str(h), str(mw), str(mh)],
+        input=_rgb_bytes(map_rgb) + _rgb_bytes(rgb),
+        stdout=subprocess.PIPE, check=True)
+    return _rgb_from(out.stdout, h, w)
+
+
+def run_colorkey(dst: np.ndarray, src: np.ndarray, *, color: int,
+                 threshhold: int, invert: bool = False, noisekey: int = 0,
+                 fade: int = 0, xdivr: int = 1) -> np.ndarray:
+    """dst = persistent canvas, src = keyed layer. noisekey must be 0 for
+    deterministic crosschecks (it consumes libc rand())."""
+    h, w, _ = src.shape
+    out = subprocess.run(
+        [colorkey_exe(), str(w), str(h), str(color), str(threshhold),
+         str(int(invert)), str(noisekey), str(fade), str(xdivr)],
+        input=_rgb_bytes(dst) + _rgb_bytes(src),
+        stdout=subprocess.PIPE, check=True)
+    return _rgb_from(out.stdout, h, w)
+
+
+def run_average_delay(dst: np.ndarray, src: np.ndarray, field: int,
+                      delay: int, newlevel: int) -> np.ndarray:
+    h, w, _ = src.shape
+    out = subprocess.run(
+        [average_delay_exe(), str(w), str(h), str(field), str(delay),
+         str(newlevel)],
+        input=_rgb_bytes(dst) + _rgb_bytes(src),
+        stdout=subprocess.PIPE, check=True)
+    return _rgb_from(out.stdout, h, w)
 
 
 def run_cassette(samples: np.ndarray, rate: int, **cfg) -> np.ndarray:

@@ -441,3 +441,99 @@ def test_cassette_chain_matches_reference(name, channels, rate, preset, mono,
         head_tilt=tilt, head_tilt_waver=waver, pre_cut=4000.0,
         hiss_level=0, mono_downmix=mono, **ocfg)
     np.testing.assert_array_equal(got.astype(np.int64), want, err_msg=name)
+
+
+# -------------------------------------------------------------- pixel tools
+
+def _rand_rgb_pair(seed, h=32, w=48):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8),
+            rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8))
+
+
+@pytest.mark.parametrize("thr", [1, 3, 7])
+def test_posterize_matches_reference(thr):
+    """ffmpeg_posterize.cpp:789-813: bitwise AND mask — both the jax op and
+    the host-numpy twin, bit-exact."""
+    from cvsim_tpu.models import tools, tools_np
+
+    rgb, _ = _rand_rgb_pair(thr)
+    got = ref_extract.run_posterize(rgb, thr)
+    np.testing.assert_array_equal(
+        got, np.asarray(tools.posterize(rgb, thr), np.uint8))
+    np.testing.assert_array_equal(got, tools_np.posterize(rgb, thr))
+
+
+def test_colormap_matches_reference():
+    """ffmpeg_colormap.cpp:785-822: 256-entry LUT from the map's middle
+    scanline, indexed by the green channel."""
+    from cvsim_tpu.models import tools, tools_np
+
+    map_rgb, rgb = _rand_rgb_pair(7, h=20, w=100)   # map width != 256
+    got = ref_extract.run_colormap(map_rgb, rgb)
+    lut = tools.take_colormap(map_rgb)
+    np.testing.assert_array_equal(
+        got, np.asarray(tools.colormap_apply(rgb, lut), np.uint8))
+    np.testing.assert_array_equal(
+        got, tools_np.colormap_apply(rgb, lut).astype(np.uint8))
+
+
+COLORKEY_CASES = [
+    ("basic", {"color": (0, 255, 0), "threshhold": 90}),
+    ("invert", {"color": (10, 200, 30), "threshhold": 120, "invert": True}),
+    ("fade", {"color": (0, 255, 0), "threshhold": 90, "fade": 64}),
+    ("xdivr", {"color": (0, 255, 0), "threshhold": 90, "xdivr": 5}),
+    ("xdivr_fade_inv", {"color": (200, 40, 40), "threshhold": 150,
+                        "xdivr": 3, "fade": 128, "invert": True}),
+]
+
+
+@pytest.mark.parametrize("name,kw", COLORKEY_CASES,
+                         ids=[c[0] for c in COLORKEY_CASES])
+def test_colorkey_matches_reference(name, kw):
+    """ffmpeg_colorkey.cpp:832-887: |dR|+|dG|+|dB| key vs threshold with
+    -inv/-f fade/-xd held decisions (noise off: rand())."""
+    from cvsim_tpu.models import tools, tools_np
+    import jax
+
+    dst, src = _rand_rgb_pair(zlib.crc32(name.encode()) & 0xFFFF)
+    # make keying actually fire: paint regions near the key color
+    src[4:12, 6:30] = np.asarray(kw["color"], np.uint8)
+    src[5:9, 8:20] += 3   # near-key jitter straddles the threshold
+    r, g, b = kw["color"]
+    packed = (r << 16) | (g << 8) | b
+    got = ref_extract.run_colorkey(
+        dst, src, color=packed, threshhold=kw["threshhold"],
+        invert=kw.get("invert", False), fade=kw.get("fade", 0),
+        xdivr=kw.get("xdivr", 1))
+    key = jax.random.PRNGKey(0)
+    jout = tools.colorkey_apply(
+        dst.astype(np.int32), src.astype(np.int32), key, color=kw["color"],
+        threshhold=kw["threshhold"], invert=kw.get("invert", False),
+        noisekey=0, fade=kw.get("fade", 0), xdivr=kw.get("xdivr", 1))
+    np.testing.assert_array_equal(got, np.asarray(jout, np.uint8),
+                                  err_msg=name)
+    nout = tools_np.colorkey_apply(
+        dst.astype(np.int64), src.astype(np.int64), key, color=kw["color"],
+        threshhold=kw["threshhold"], invert=kw.get("invert", False),
+        noisekey=0, fade=kw.get("fade", 0), xdivr=kw.get("xdivr", 1))
+    np.testing.assert_array_equal(got, nout.astype(np.uint8), err_msg=name)
+
+
+@pytest.mark.parametrize("field,delay,newlevel",
+                         [(0, 1, 128), (7, 3, 40), (11, 2, 255), (5, 1, 0)])
+def test_average_delay_matches_reference(field, delay, newlevel):
+    """ffmpeg_average_delay.cpp:801-838: temporal blend with the ordered
+    dither ((x^y)+field/delay)&3."""
+    from cvsim_tpu.models import tools, tools_np
+
+    dst, src = _rand_rgb_pair(field * 31 + delay)
+    got = ref_extract.run_average_delay(dst, src, field, delay, newlevel)
+    jout = tools.average_delay_blend(
+        dst.astype(np.int32), src.astype(np.int32), field,
+        newlevel=newlevel, delay=delay)
+    np.testing.assert_array_equal(got, np.asarray(jout, np.uint8))
+    nout = tools_np.average_delay_blend(
+        dst.astype(np.int64), src.astype(np.int64), field,
+        newlevel=newlevel, delay=delay)
+    np.testing.assert_array_equal(got, nout.astype(np.uint8))
