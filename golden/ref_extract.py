@@ -511,6 +511,162 @@ def _compose_pixel(src_name: str, stub: str, main_code: str,
     return "\n".join([_PIXEL_PROLOGUE, stub, kernel, main_code])
 
 
+# vhsled / frameblend / filmac keep their per-frame logic inline in main()'s
+# demux loop rather than in named functions; the composers below slice that
+# loop body verbatim (markers are the block's first statement and the
+# `...->pts = current` line that follows it) and embed it in an original
+# driver that sets up the same locals/globals the block reads.
+
+_VHSLED_STUB = r"""
+#include <cassert>
+struct InputFileStub { AVFrame *input_avstream_video_frame_rgb; };
+InputFileStub input_file;
+AVFrame *output_avstream_video_frame;
+"""
+
+_VHSLED_MAIN_HEAD = r"""
+int main(int argc, char **argv) {
+    // argv: w h   stdin: src RGB24   stdout: de-jittered RGB24
+    int w = atoi(argv[1]), h = atoi(argv[2]);
+    uint32_t *ibuf; unsigned char *rgb = read_rgb_frame(w, h, &ibuf);
+    uint32_t *obuf = new uint32_t[(size_t)w * h];
+    AVFrame inf = {w, h, {w*4,0,0,0}, {(unsigned char*)ibuf,0,0,0}};
+    AVFrame outf = {w, h, {w*4,0,0,0}, {(unsigned char*)obuf,0,0,0}};
+    input_file.input_avstream_video_frame_rgb = &inf;
+    output_avstream_video_frame = &outf;
+"""
+
+_VHSLED_MAIN_TAIL = r"""
+    write_rgb_frame(w, h, obuf, rgb);
+    return 0;
+}
+"""
+
+
+def _compose_vhsled() -> str:
+    text = open(os.path.join(REF_DIR, "ffmpeg_vhsled.cpp")).read()
+    blackish = _slice_between(text, "bool blackish", "int main(")
+    block = _slice_between(text, "int32_t *adj = new int32_t",
+                           "output_avstream_video_frame->pts")
+    return "\n".join([_PIXEL_PROLOGUE, _VHSLED_STUB, blackish,
+                      _VHSLED_MAIN_HEAD, block, _VHSLED_MAIN_TAIL])
+
+
+_FRAMEBLEND_STUB = r"""
+#include <vector>
+#include <utility>
+#include <cassert>
+#include <algorithm>
+
+bool squelch_frameblend_near_match = false;
+bool fullframealt = false;
+int framealt = 1;
+double gamma_correction = -1;
+int output_width = -1;
+int output_height = -1;
+struct InputFileStub { AVFrame *input_avstream_video_frame_rgb; };
+InputFileStub input_file;
+AVFrame *output_avstream_video_frame;
+"""
+
+_FRAMEBLEND_MAIN_HEAD = r"""
+int main(int argc, char **argv) {
+    // argv: w h current framealt fullframealt squelch gamma nframes t0 t1...
+    //   (frame_t values as C hex-float strings for exact doubles)
+    // stdin: nframes RGB24 frames   stdout: one blended RGB24 frame
+    int w = atoi(argv[1]), h = atoi(argv[2]);
+    output_width = w; output_height = h;
+    unsigned long long current = strtoull(argv[3], NULL, 10);
+    framealt = atoi(argv[4]);
+    fullframealt = atoi(argv[5]) != 0;
+    squelch_frameblend_near_match = atoi(argv[6]) != 0;
+    gamma_correction = atof(argv[7]);
+    int nframes = atoi(argv[8]);
+    std::vector<uint32_t*> frames;
+    std::vector<double> frame_t;
+    unsigned char *rgb = NULL;
+    for (int i = 0; i < nframes; i++) {
+        uint32_t *buf; rgb = read_rgb_frame(w, h, &buf);
+        frames.push_back(buf);
+        frame_t.push_back(strtod(argv[9 + i], NULL));
+    }
+    uint32_t *obuf = new uint32_t[(size_t)w * h];
+    AVFrame inf = {w, h, {w*4,0,0,0}, {NULL,0,0,0}};
+    AVFrame outf = {w, h, {w*4,0,0,0}, {(unsigned char*)obuf,0,0,0}};
+    input_file.input_avstream_video_frame_rgb = &inf;
+    output_avstream_video_frame = &outf;
+"""
+
+_FRAMEBLEND_MAIN_TAIL = r"""
+    write_rgb_frame(w, h, obuf, rgb);
+    return 0;
+}
+"""
+
+
+def _compose_frameblend() -> str:
+    text = open(os.path.join(REF_DIR, "frameblend.cpp")).read()
+    helpers = _slice_between(text, "int clamp255", "int main(")
+    block = _slice_between(text,
+                           "/* cross-blending weights for this frame period */",
+                           "output_avstream_video_frame->pts")
+    return "\n".join([_PIXEL_PROLOGUE, _FRAMEBLEND_STUB, helpers,
+                      _FRAMEBLEND_MAIN_HEAD, block, _FRAMEBLEND_MAIN_TAIL])
+
+
+_FILMAC_STUB = r"""
+#include <vector>
+#include <cassert>
+#include <algorithm>
+
+double gamma_correction = -1;
+int output_width = -1;
+int output_height = -1;
+struct InputFileStub { AVFrame *input_avstream_video_frame_rgb; };
+InputFileStub input_file;
+AVFrame *output_avstream_video_frame;
+"""
+
+_FILMAC_MAIN_HEAD = r"""
+int main(int argc, char **argv) {
+    // argv: w h gamma nframes   stdin: nframes RGB24   stdout: nframes RGB24
+    // (multi-frame: final_minv/final_maxv carry the asymmetric temporal IIR)
+    int w = atoi(argv[1]), h = atoi(argv[2]);
+    output_width = w; output_height = h;
+    gamma_correction = atof(argv[3]);
+    int nframes = atoi(argv[4]);
+    long final_minv = -1, final_maxv = -1;
+    bool final_init = false;
+    uint32_t *obuf = new uint32_t[(size_t)w * h];
+    AVFrame outf = {w, h, {w*4,0,0,0}, {(unsigned char*)obuf,0,0,0}};
+    output_avstream_video_frame = &outf;
+    for (int fr = 0; fr < nframes; fr++) {
+        uint32_t *ibuf; unsigned char *rgb = read_rgb_frame(w, h, &ibuf);
+        std::vector<uint32_t*> frames;
+        frames.push_back(ibuf);
+        AVFrame inf = {w, h, {w*4,0,0,0}, {(unsigned char*)ibuf,0,0,0}};
+        input_file.input_avstream_video_frame_rgb = &inf;
+"""
+
+_FILMAC_MAIN_TAIL = r"""
+        write_rgb_frame(w, h, obuf, rgb);
+        delete[] ibuf;
+        delete[] rgb;
+    }
+    return 0;
+}
+"""
+
+
+def _compose_filmac() -> str:
+    text = open(os.path.join(REF_DIR, "filmac.cpp")).read()
+    helpers = _slice_between(text, "int clamp255", "int main(")
+    block = _slice_between(text, "long *lframe = new long[",
+                           "output_avstream_video_frame->pts")
+    return "\n".join([_PIXEL_PROLOGUE, _FILMAC_STUB, helpers,
+                      _FILMAC_MAIN_HEAD, block, _FILMAC_MAIN_TAIL])
+
+
 _CASSETTE_GLOBALS = r"""
 HiLoComboPass audio_hilopass;
 LowpassFilter audio_linear_preemphasis_pre[2];
@@ -653,6 +809,18 @@ def average_delay_exe() -> str:
         "ffmpeg_average_delay.cpp", _AVGDELAY_STUB, _AVGDELAY_MAIN))
 
 
+def vhsled_exe() -> str:
+    return _build("ref_vhsled", _compose_vhsled())
+
+
+def frameblend_exe() -> str:
+    return _build("ref_frameblend", _compose_frameblend())
+
+
+def filmac_exe() -> str:
+    return _build("ref_filmac", _compose_filmac())
+
+
 # ------------------------------------------------------------------- drivers
 
 def _kv_args(cfg: dict) -> list[str]:
@@ -755,6 +923,40 @@ def run_average_delay(dst: np.ndarray, src: np.ndarray, field: int,
         input=_rgb_bytes(dst) + _rgb_bytes(src),
         stdout=subprocess.PIPE, check=True)
     return _rgb_from(out.stdout, h, w)
+
+
+def run_vhsled(rgb: np.ndarray) -> np.ndarray:
+    h, w, _ = rgb.shape
+    out = subprocess.run(
+        [vhsled_exe(), str(w), str(h)], input=_rgb_bytes(rgb),
+        stdout=subprocess.PIPE, check=True)
+    return _rgb_from(out.stdout, h, w)
+
+
+def run_frameblend(frames: np.ndarray, frame_t, current: int, *,
+                   framealt: int = 1, fullframealt: bool = False,
+                   squelch: bool = False, gamma: float = -1.0) -> np.ndarray:
+    """frames: [K, H, W, 3] u8; frame_t: K doubles (passed as hex floats for
+    exact parse). Returns the blended output frame for [current, current+1)."""
+    k, h, w, _ = frames.shape
+    ts = [float(t).hex() for t in frame_t]
+    out = subprocess.run(
+        [frameblend_exe(), str(w), str(h), str(current), str(framealt),
+         str(int(fullframealt)), str(int(squelch)), repr(gamma), str(k)] + ts,
+        input=b"".join(_rgb_bytes(f) for f in frames),
+        stdout=subprocess.PIPE, check=True)
+    return _rgb_from(out.stdout, h, w)
+
+
+def run_filmac(frames: np.ndarray, gamma: float = -1.0) -> np.ndarray:
+    """frames: [K, H, W, 3] u8 sequence (the level IIR carries across
+    frames). Returns [K, H, W, 3] rescaled frames."""
+    k, h, w, _ = frames.shape
+    out = subprocess.run(
+        [filmac_exe(), str(w), str(h), repr(gamma), str(k)],
+        input=b"".join(_rgb_bytes(f) for f in frames),
+        stdout=subprocess.PIPE, check=True)
+    return np.frombuffer(out.stdout, np.uint8).reshape(k, h, w, 3).copy()
 
 
 def run_cassette(samples: np.ndarray, rate: int, **cfg) -> np.ndarray:

@@ -537,3 +537,122 @@ def test_average_delay_matches_reference(field, delay, newlevel):
         dst.astype(np.int64), src.astype(np.int64), field,
         newlevel=newlevel, delay=delay)
     np.testing.assert_array_equal(got, nout.astype(np.uint8))
+
+
+# ----------------------------------------------------------- restore tools
+
+def _vhs_capture_frame(seed, h=40, w=64):
+    """Synthesize a jittered VHS capture: per line, a dark left margin of
+    varying width (blackish vs the line's first pixel) then bright content."""
+    rng = np.random.default_rng(seed)
+    f = rng.integers(0, 12, size=(h, w, 3)).astype(np.uint8)   # blackish base
+    for y in range(h):
+        m = max(0, int(4 + 6 * np.sin(y * 0.7)) + int(rng.integers(0, 3)))
+        if y % 11 == 10:
+            continue                    # an all-blackish line: no 9-run
+        f[y, m:] = rng.integers(60, 256, size=(w - m, 3))
+    return f
+
+
+@pytest.mark.parametrize("name,frame", [
+    ("jitter", _vhs_capture_frame(3)),
+    ("random", _rand_rgb(17, h=32, w=48)),
+    ("tiny", _rand_rgb(23, h=6, w=32)),        # h<9: box smoothing inert
+], ids=["jitter", "random", "tiny"])
+def test_vhsled_matches_reference(name, frame):
+    """ffmpeg_vhsled.cpp:866-928: first 9-run of non-blackish pixels per line
+    (blackish compares every channel against the first pixel's BLUE byte —
+    the un-shifted `r` at :686), 9-line box smoothing, left shift with the
+    original tail kept."""
+    from cvsim_tpu.models import restore, tools_np
+
+    got = ref_extract.run_vhsled(frame)
+    jout = restore.vhsled_dejitter(frame)
+    np.testing.assert_array_equal(got, np.asarray(jout, np.uint8),
+                                  err_msg=name)
+    nout = tools_np.vhsled_dejitter(frame)
+    np.testing.assert_array_equal(got, nout.astype(np.uint8), err_msg=name)
+
+
+FRAMEBLEND_CASES = [
+    # (name, frame_t spacing per source frame, current, kwargs)
+    ("basic", 0.8, 0, {}),
+    ("mid", 0.8, 2, {}),
+    ("framealt2", 0.45, 2, {"framealt": 2}),
+    ("ffa", 0.45, 2, {"framealt": 2, "fullframealt": True}),
+    ("squelch", 0.995, 0, {"squelch": True}),      # sq=0.25 rescale branch
+    ("squelch_hard", 1.0005, 0, {"squelch": True}),  # sq<=0.01 hard cut
+    ("gamma", 0.8, 1, {"gamma": 2.2}),
+    ("fallback", None, 0, {}),                     # no overlap -> cutoff frame
+]
+
+
+@pytest.mark.parametrize("name,spacing,current,kw", FRAMEBLEND_CASES,
+                         ids=[c[0] for c in FRAMEBLEND_CASES])
+def test_frameblend_matches_reference(name, spacing, current, kw):
+    """frameblend.cpp:929-1081: overlap-weighted temporal cross-blend in
+    16.16 fixed point, -fa/-ffa alternate-frame stepping, near-rate squelch,
+    gamma-linear blend through the 256->8192 LUTs."""
+    from cvsim_tpu.models import restore, tools_np
+
+    k = 6
+    rng = np.random.default_rng(zlib.crc32(name.encode()) & 0xFFFF)
+    frames = rng.integers(0, 256, size=(k, 20, 24, 3)).astype(np.uint8)
+    if spacing is None:
+        frame_t = [5.0 + i for i in range(k)]      # all past [0,1): fallback
+    else:
+        frame_t = [i * spacing for i in range(k)]
+    gamma = kw.pop("gamma", -1.0)
+    got = ref_extract.run_frameblend(frames, frame_t, current,
+                                     gamma=gamma, **kw)
+    gdec = genc = None
+    if gamma > 1:
+        gdec, genc = restore.gamma_tables(gamma)
+    w16, _cutoff = restore.frameblend_weights(frame_t, current, **kw)
+    used = frames[[i for i, _ in w16]]
+    jout = restore.frameblend_mix(used, w16, gdec, genc)
+    np.testing.assert_array_equal(got, np.asarray(jout, np.uint8),
+                                  err_msg=name)
+    nout = tools_np.frameblend_mix(used, w16, gdec, genc)
+    np.testing.assert_array_equal(got, nout.astype(np.uint8), err_msg=name)
+
+
+@pytest.mark.parametrize("name,h,w,gamma", [
+    ("plain_multiblock", 150, 200, -1.0),   # 2x2 block grid, x-clip at w
+    ("plain_small", 40, 100, -1.0),
+    ("gamma", 40, 200, 2.2),
+], ids=["plain_multiblock", "plain_small", "gamma"])
+def test_filmac_matches_reference(name, h, w, gamma):
+    """filmac.cpp:857-1009: per-frame 128x128 block scan (block-mean of the
+    channel-min, per-pixel channel-max that reads past maxx to the last
+    block's end), asymmetric temporal level IIR carried across frames,
+    16.16 linear rescale; optional gamma-linear domain."""
+    from cvsim_tpu.models import restore, tools_np
+
+    rng = np.random.default_rng(zlib.crc32(name.encode()) & 0xFFFF)
+    # brightness ramps up then down so both IIR branches (fast avg/2 and
+    # slow 4:1) fire for min and max
+    seq = np.stack([
+        np.clip(rng.integers(0, 256, size=(h, w, 3)) * s // 256, lo, 255)
+        for s, lo in ((140, 20), (255, 0), (90, 40), (200, 10))
+    ]).astype(np.uint8)
+    got = ref_extract.run_filmac(seq, gamma)
+
+    gdec = genc = None
+    if gamma > 1:
+        gdec, genc = restore.gamma_tables(gamma)
+    st_j = restore.FilmacState()
+    st_n = restore.FilmacState()
+    for fi in range(seq.shape[0]):
+        minv, maxv, scaleto = restore.filmac_measure(seq[fi], gdec)
+        restore.filmac_update_levels(st_j, minv, maxv)
+        jout = restore.filmac_rescale(seq[fi], st_j, scaleto, gdec, genc)
+        np.testing.assert_array_equal(
+            got[fi], np.asarray(jout, np.uint8), err_msg=f"{name} jax f{fi}")
+
+        minv2, maxv2, scaleto2 = tools_np.filmac_measure(seq[fi], gdec)
+        assert (minv2, maxv2, scaleto2) == (minv, maxv, scaleto), name
+        restore.filmac_update_levels(st_n, minv2, maxv2)
+        nout = tools_np.filmac_rescale(seq[fi], st_n, scaleto2, gdec, genc)
+        np.testing.assert_array_equal(
+            got[fi], nout.astype(np.uint8), err_msg=f"{name} np f{fi}")
