@@ -821,6 +821,49 @@ def filmac_exe() -> str:
     return _build("ref_filmac", _compose_filmac())
 
 
+_SCANIMATE_STUB = r"""
+#include <cassert>
+struct InputFile { int dummy; };
+bool input_ntsc = false;
+"""
+
+_SCANIMATE_MAIN = r"""
+int main(int argc, char **argv) {
+    // argv: sw sh dw dh field fieldno input_ntsc
+    // stdin: src RGB24   stdout: dst RGB24 (canvas prefilled 0x202020 so
+    // the rows-below-`field` keep-previous quirk at :964 is observable)
+    int sw = atoi(argv[1]), sh = atoi(argv[2]);
+    int dw = atoi(argv[3]), dh = atoi(argv[4]);
+    unsigned int field = (unsigned int)atoi(argv[5]);
+    unsigned long long fieldno = strtoull(argv[6], NULL, 10);
+    input_ntsc = atoi(argv[7]) != 0;
+    uint32_t *ibuf; unsigned char *rgb = read_rgb_frame(sw, sh, &ibuf);
+    uint32_t *obuf = new uint32_t[(size_t)dw * dh];
+    for (long k = 0; k < (long)dw * dh; k++) obuf[k] = 0xFF202020UL;
+    AVFrame inf = {sw, sh, {sw*4,0,0,0}, {(unsigned char*)ibuf,0,0,0}};
+    AVFrame outf = {dw, dh, {dw*4,0,0,0}, {(unsigned char*)obuf,0,0,0}};
+    InputFile fin;
+    composite_layer(&outf, &inf, fin, field, fieldno);
+    unsigned char *orgb = new unsigned char[(size_t)dw * dh * 3];
+    write_rgb_frame(dw, dh, obuf, orgb);
+    return 0;
+}
+"""
+
+
+def _compose_scanimate() -> str:
+    # PRECISION const + phosphor_dot + pixelstep + scanimate_modify_raster
+    # + composite_layer (ffmpeg_scanimate.cpp:815-974) in one slice
+    text = open(os.path.join(REF_DIR, "ffmpeg_scanimate.cpp")).read()
+    kernel = _slice_between(text, "const unsigned int PRECISION", "int main(")
+    return "\n".join([_PIXEL_PROLOGUE, _SCANIMATE_STUB, kernel,
+                      _SCANIMATE_MAIN])
+
+
+def scanimate_exe() -> str:
+    return _build("ref_scanimate", _compose_scanimate())
+
+
 # ------------------------------------------------------------------- drivers
 
 def _kv_args(cfg: dict) -> list[str]:
@@ -957,6 +1000,19 @@ def run_filmac(frames: np.ndarray, gamma: float = -1.0) -> np.ndarray:
         input=b"".join(_rgb_bytes(f) for f in frames),
         stdout=subprocess.PIPE, check=True)
     return np.frombuffer(out.stdout, np.uint8).reshape(k, h, w, 3).copy()
+
+
+def run_scanimate(src: np.ndarray, dst_h: int, dst_w: int, field: int,
+                  fieldno: int, input_ntsc: bool = True) -> np.ndarray:
+    """Run the reference ffmpeg_scanimate composite_layer (:894-974) on one
+    [H, W, 3] u8 source frame; returns the [dst_h, dst_w, 3] phosphor
+    raster (rows below `field` keep the 0x20 canvas)."""
+    h, w, _ = src.shape
+    out = subprocess.run(
+        [scanimate_exe(), str(w), str(h), str(dst_w), str(dst_h),
+         str(field), str(fieldno), str(int(input_ntsc))],
+        input=_rgb_bytes(src), stdout=subprocess.PIPE, check=True)
+    return _rgb_from(out.stdout, dst_h, dst_w)
 
 
 def run_cassette(samples: np.ndarray, rate: int, **cfg) -> np.ndarray:

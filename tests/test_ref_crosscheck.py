@@ -656,3 +656,41 @@ def test_filmac_matches_reference(name, h, w, gamma):
         nout = tools_np.filmac_rescale(seq[fi], st_n, scaleto2, gdec, genc)
         np.testing.assert_array_equal(
             got[fi], nout.astype(np.uint8), err_msg=f"{name} np f{fi}")
+
+
+# ------------------------------------------------------------- scanimate
+
+@pytest.mark.parametrize("fieldno,field,ntsc", [
+    (10, 0, True),     # effect 0: trapezoid
+    (190, 1, True),    # effect 1: vertical rotate
+    (370, 0, True),    # effect 2: vertical stretch
+    (550, 1, True),    # effect 3: sin diffuse
+    (25, 0, False),    # monochrome camera: ystep=1, y0=0
+], ids=["trapezoid", "vrotate", "vstretch", "diffuse", "mono"])
+def test_scanimate_matches_reference(fieldno, field, ntsc):
+    """ffmpeg_scanimate.cpp:894-974: CRT phosphor-dot re-render — warp
+    effects cycling every 180 fields, cone-falloff dot splat with integer
+    truncation per dot, >>PRECISION pack, rows below `field` keeping the
+    previous canvas.
+
+    The production splat runs float32 (device path); the reference is
+    double. Dot values are trunc(fv*255), so a 1-ulp fv difference at an
+    integer boundary flips a single count: tolerance is max diff 1 with
+    <0.1% of pixels differing (measured ~0.02%). Bit-exactness of the
+    splat itself is pinned separately in test_scanimate_splat.py."""
+    from cvsim_tpu.models import tools
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(fieldno)
+    src = rng.integers(0, 256, (64, 96, 3)).astype(np.uint8)
+    ref_out = ref_extract.run_scanimate(src, 144, 192, field, fieldno, ntsc)
+    raster = np.asarray(tools.scanimate_field(
+        jnp.asarray(src, jnp.int32), 144, 192, field, fieldno,
+        input_ntsc=ntsc))
+    exp = np.full((144, 192, 3), 0x20, np.int64)
+    exp[field:] = np.clip(raster, 0, 255)[field:, :, None]
+    d = np.abs(ref_out.astype(np.int64) - exp)
+    assert d.max() <= 1, d.max()
+    assert (d > 0).mean() <= 1e-3, (d > 0).mean()
+    # the canvas quirk rows must be untouched exactly
+    np.testing.assert_array_equal(ref_out[:field], exp[:field])
