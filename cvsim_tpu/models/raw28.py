@@ -204,6 +204,20 @@ def decode_color_lines(chroma, *, raw_len: int, width: int,
     return u[:, :width], v[:, :width], bnorm
 
 
+def equalize_lut(blank_level: float, white_level: float,
+                 wp_equalize: bool = True) -> np.ndarray:
+    """Exact equalization table (:712-717). The reference subtracts the
+    DOUBLE blank_level from the int luma and truncates, then divides the
+    255-scaled int by the DOUBLE level span and truncates again — two
+    float64 truncations per sample, not integer ops. Host-precomputed over
+    the 256 possible raw values so the device path is one gather."""
+    m = np.arange(256, dtype=np.float64)
+    v = np.trunc(m - blank_level)
+    if wp_equalize:
+        v = np.trunc((v * 255.0) / (white_level - blank_level))
+    return v.astype(np.int32)
+
+
 def decode_lines(
     raw_lines,            # int32 [N, L+24] gathered raw samples per line
     blank_level: float,
@@ -216,48 +230,68 @@ def decode_lines(
     show_subcarrier: bool = False,
     width: int = 720,
     full_chroma: bool = False,
+    chroma_carry=None,    # int32 [16] from the previous line batch
 ):
     """Equalization + Y/C separation for a batch of scanlines
     (:706-779). Returns (luma uint8 [N, width], chroma int32 [N, width] —
-    or [N, raw_len] with full_chroma=True for the color demodulator)."""
+    or [N, raw_len] with full_chroma=True — and the int32[16] chroma-tail
+    carry for the next batch).
+
+    The reference's int_chroma[4096] is a C static reused across scanlines
+    AND fields: each line's shift stage writes [16, raw_len+16) only, so
+    the chroma stages that read past raw_len (enhancement x+8/x+12,
+    denoise x+4) pick up the PREVIOUS line's shifted tail — the last ~28
+    columns of every line depend on the line before it. Modeled as a
+    16-sample carry scanned across lines; callers thread it across
+    decode_field calls to preserve the cross-field leak."""
     x = jnp.asarray(raw_lines, jnp.int32)
 
     if equalize:
-        v = x - jnp.int32(int(blank_level))
-        if wp_equalize:
-            span = max(1, int(white_level - blank_level))
-            v = c_div(v * 255, span)
-        x = v
+        lut = jnp.asarray(equalize_lut(blank_level, white_level,
+                                       wp_equalize))
+        x = jnp.take(lut, jnp.clip(x, 0, 255), axis=0)
+
+    carry0 = (jnp.zeros(16, jnp.int32) if chroma_carry is None
+              else jnp.asarray(chroma_carry, jnp.int32))
 
     if separate_chroma:
-        sl = lambda a, o, n: jax.lax.dynamic_slice_in_dim(a, o, n, axis=-1)
-        scan = x
-        luma = c_div(sl(scan, 0, raw_len) + sl(scan, 4, raw_len) + 1, 2)
-        chroma = sl(scan, 0, raw_len) - luma
-        # burst enhancement: c[x] + c[x+8] - c[x+4] - c[x+12]
-        cpad = jnp.pad(chroma, [(0, 0), (0, 16)])
-        chroma = (sl(cpad, 0, raw_len) + sl(cpad, 8, raw_len)
-                  - sl(cpad, 4, raw_len) - sl(cpad, 12, raw_len))
-        # 4 denoise iterations: c[x] -= (c[x] + c[x+4]) / 2
-        for _ in range(4):
-            cpad = jnp.pad(chroma, [(0, 0), (0, 4)])
-            chroma = chroma - c_div(sl(cpad, 0, raw_len) + sl(cpad, 4, raw_len), 2)
-        # shift by 16 and /4 renormalize (:749-751): the backward loop
-        # writes x+16 only, so columns 0..15 KEEP the pre-shift denoised
-        # (undivided) values — they feed the first 16 output pixels' luma
-        chroma = jnp.concatenate(
-            [chroma[:, :16], c_div(chroma, 4)[:, : raw_len - 16]], axis=-1)
-        luma = x[:, :raw_len] - chroma
+        scan_in = x[:, : raw_len + 16]
+
+        def one_line(tail, scan):
+            # int_luma[x] = (s[x] + s[x+4] + 1) / 2, x < raw_len (:735-736)
+            luma0 = c_div(scan[:raw_len] + scan[4:raw_len + 4] + 1, 2)
+            c3 = scan[:raw_len] - luma0
+            # burst enhancement c[x]+c[x+8]-c[x+4]-c[x+12] reads the stale
+            # tail for x >= raw_len-12 (:741-742)
+            ce = jnp.concatenate([c3, tail])
+            c = (ce[:raw_len] + ce[8:raw_len + 8]
+                 - ce[4:raw_len + 4] - ce[12:raw_len + 12])
+            # 4 denoise iterations read tail[:4] at the row end (:744-747)
+            t4 = tail[:4]
+            for _ in range(4):
+                cd = jnp.concatenate([c, t4])
+                c = c - c_div(cd[:raw_len] + cd[4:raw_len + 4], 2)
+            # shift by 16 and /4 renormalize (:749-751): the backward loop
+            # writes x+16 only, so columns 0..15 KEEP the pre-shift
+            # denoised (undivided) values; the 16 shifted-out columns
+            # [raw_len, raw_len+16) become the next line's stale tail
+            new_tail = c_div(c[raw_len - 16:], 4)
+            chroma = jnp.concatenate([c[:16], c_div(c[: raw_len - 16], 4)])
+            luma = scan[:raw_len] - chroma
+            return new_tail, (luma, chroma)
+
+        carry, (luma, chroma) = jax.lax.scan(one_line, carry0, scan_in)
     else:
         luma = x[:, :raw_len]
         chroma = jnp.zeros_like(luma)
+        carry = carry0
 
     if show_subcarrier:
         out = chroma[:, :width] + 128
     else:
         out = luma[:, :width]
     ch = chroma if full_chroma else chroma[:, :width]
-    return jnp.clip(out, 0, 255).astype(jnp.uint8), ch
+    return jnp.clip(out, 0, 255).astype(jnp.uint8), ch, carry
 
 
 class Raw28Decoder:
@@ -288,6 +322,9 @@ class Raw28Decoder:
         self.raw = np.zeros(0, np.uint8)
         self.dc = np.zeros(0, np.uint8)
         self.pos = 0
+        # the reference's static int_chroma[] leaks its shifted tail across
+        # scanlines AND fields (see decode_lines); zeros match the C static
+        self._chroma_tail = None
 
     def feed(self, data: bytes | np.ndarray):
         r, d = self.tracker.process(np.frombuffer(data, np.uint8)
@@ -349,12 +386,12 @@ class Raw28Decoder:
         idx = np.minimum(idx, len(self.raw) - 1)
         lines = self.raw[idx].astype(np.int32)
 
-        out, chroma = decode_lines(
+        out, chroma, self._chroma_tail = decode_lines(
             jnp.asarray(lines), self.agc.blank_level, self.agc.white_level,
             raw_len=rl, equalize=self.equalize, wp_equalize=self.wp_equalize,
             separate_chroma=self.separate_chroma,
             show_subcarrier=self.show_subcarrier, width=self.width,
-            full_chroma=self.decode_color)
+            full_chroma=self.decode_color, chroma_carry=self._chroma_tail)
         out = np.asarray(out)
         uv = None
         if self.decode_color and self.separate_chroma:
@@ -373,7 +410,15 @@ class Raw28Decoder:
         if n < self.height:
             out = np.pad(out, [(0, self.height - n), (0, 0)])
 
-        # advance at least 240 scanlines (:836-845)
-        consumed = max(p, pos + rl * 240)
+        # cursor advance (:836-845): with sync the read cursor moves to
+        # exactly 240 scanlines past the vsync lock (input_start + 240H —
+        # NOT to where the line scan ended; the ~22-line overlap is what
+        # paces 262 rendered lines against the 262.5-line field cadence,
+        # the next hunt re-locks inside it). nosig mode advances to the
+        # scan end first (:835), then the same 240H floor applies.
+        if self.disable_sync:
+            consumed = max(p, pos + rl * 240)
+        else:
+            consumed = pos + rl * 240
         self.pos = min(len(self.raw), consumed)
         return (out, uv) if self.decode_color else out

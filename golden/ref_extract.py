@@ -864,6 +864,88 @@ def scanimate_exe() -> str:
     return _build("ref_scanimate", _compose_scanimate())
 
 
+_RAW28_STUB = r"""
+#include <vector>
+#include <list>
+#include <string>
+#include <cassert>
+#include <climits>
+#include <unistd.h>
+#include <fcntl.h>
+
+struct AVRational { int num, den; };
+#define RGBTRIPLET(r,g,b) (((uint32_t)(r) << 16) + ((uint32_t)(g) << 8) + ((uint32_t)(b) << 0))
+"""
+
+_RAW28_MAIN = r"""
+int main(int argc, char **argv) {
+    // argv: nfields [flags: marksig noequ nowequ nosig nosc showsc]
+    // stdin: raw 8-bit composite samples at 28.636 MHz
+    // stdout: nfields RGB24 frames of output_width x output_height
+    int nfields = atoi(argv[1]);
+    for (int a = 2; a < argc; a++) {
+        if (!strcmp(argv[a], "marksig")) mark_sync = true;
+        else if (!strcmp(argv[a], "noequ")) disable_equalization = true;
+        else if (!strcmp(argv[a], "nowequ")) disable_wp_equ = true;
+        else if (!strcmp(argv[a], "nosig")) disable_sync = true;
+        else if (!strcmp(argv[a], "nosc")) disable_subcarrier = true;
+        else if (!strcmp(argv[a], "showsc")) show_subcarrier = true;
+    }
+    NTSC28MHz();
+    compute_NTSC();
+    // preset_NTSC (:392-398)
+    output_field_rate.num = 60000; output_field_rate.den = 1001;
+    output_height = 262;
+    output_width = (one_scanline_raw_length + 1) & (~1);
+    // hsync DC detect setup, verbatim from main (:905-911)
+    hsync_dc_detect_delay.resize((size_t)((one_scanline_time * 0.075 * 0.75) * 0.5));
+    hsync_dc_detect_delay_i = hsync_dc_detect_delay.begin();
+    for (size_t i=0;i < hsync_dc_detect_passes;i++) {
+        hsync_dc_detect[i].setFilter(sample_rate,sample_rate / (one_scanline_time * 0.075 * 0.75));
+        for (size_t j=0;j < one_frame_time;j++) hsync_dc_detect[i].lowpass(128);
+    }
+    src_composite.push_back("-");
+    if (!open_src()) { fprintf(stderr, "open_src failed\n"); return 1; }
+
+    uint32_t *obuf = new uint32_t[(size_t)output_width * output_height];
+    unsigned char *orgb = new unsigned char[(size_t)output_width * output_height * 3];
+    AVFrame outf = {output_width, output_height, {output_width*4,0,0,0},
+                    {(unsigned char*)obuf,0,0,0}};
+    // main render loop shape (:1012-1034) without the encoder
+    for (long long current = 0; current < nfields; current++) {
+        lazy_flush_src();
+        refill_src();
+        if (count_src() < (one_scanline_raw_length*256)) {
+            close_src();
+            break;
+        }
+        memset(obuf, 0, sizeof(uint32_t)*(size_t)output_width*output_height);
+        composite_layer(&outf, (unsigned int)((current & 1) ^ 1),
+                        (unsigned long long)current);
+        write_rgb_frame(output_width, output_height, obuf, orgb);
+    }
+    close_src();
+    return 0;
+}
+"""
+
+
+def _compose_raw28() -> str:
+    text = open(os.path.join(REF_DIR, "ffmpeg_raw28ntsc.cpp")).read()
+    lowpass = _slice_between(text, "class LowpassFilter", "class HiLoPair")
+    machinery = _slice_between(text, "std::list<string>           src_composite",
+                               "#define RGBTRIPLET")
+    decoder = _slice_between(
+        text, "// From cxadc you can't assume specific sample values",
+        "int main(")
+    return "\n".join([_PIXEL_PROLOGUE, _RAW28_STUB, lowpass, machinery,
+                      decoder, _RAW28_MAIN])
+
+
+def raw28_exe() -> str:
+    return _build("ref_raw28", _compose_raw28())
+
+
 # ------------------------------------------------------------------- drivers
 
 def _kv_args(cfg: dict) -> list[str]:
@@ -1013,6 +1095,22 @@ def run_scanimate(src: np.ndarray, dst_h: int, dst_w: int, field: int,
          str(field), str(fieldno), str(int(input_ntsc))],
         input=_rgb_bytes(src), stdout=subprocess.PIPE, check=True)
     return _rgb_from(out.stdout, dst_h, dst_w)
+
+
+def run_raw28(samples: np.ndarray, nfields: int, *flags: str):
+    """Run the reference ffmpeg_raw28ntsc decoder (:855-1034 loop shape) on
+    a raw uint8 28.6MHz composite sample stream. Returns uint8
+    [K, 262, W, 3] where W = (one_scanline_raw_length+1)&~1 = 1820 and
+    K <= nfields (the loop stops when fewer than 256 scanlines remain)."""
+    out = subprocess.run(
+        [raw28_exe(), str(nfields), *flags],
+        input=np.ascontiguousarray(samples, np.uint8).tobytes(),
+        stdout=subprocess.PIPE, check=True)
+    w, h = 1820, 262
+    frame_bytes = w * h * 3
+    k = len(out.stdout) // frame_bytes
+    return np.frombuffer(out.stdout[:k * frame_bytes],
+                         np.uint8).reshape(k, h, w, 3).copy()
 
 
 def run_cassette(samples: np.ndarray, rate: int, **cfg) -> np.ndarray:

@@ -194,8 +194,8 @@ def test_chroma_shift_head_keeps_preshift_values():
     x = np.arange(RL + 16)
     carrier = (60 * np.sin(2 * np.pi * x / 8)).astype(np.int32) + 128
     line = np.clip(carrier + rng.integers(-3, 4, RL + 16), 0, 255)
-    _, chroma = decode_lines(line[None, :], 0.0, 255.0, raw_len=RL,
-                             equalize=False, full_chroma=True)
+    _, chroma, _ = decode_lines(line[None, :], 0.0, 255.0, raw_len=RL,
+                                equalize=False, full_chroma=True)
     ch = np.asarray(chroma)[0]
     assert np.abs(ch[:16]).max() > 0
     np.testing.assert_array_less(np.abs(ch[:16] - 4 * ch[16:32]), 4)

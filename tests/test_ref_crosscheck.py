@@ -694,3 +694,116 @@ def test_scanimate_matches_reference(fieldno, field, ntsc):
     assert (d > 0).mean() <= 1e-3, (d > 0).mean()
     # the canvas quirk rows must be untouched exactly
     np.testing.assert_array_equal(ref_out[:field], exp[:field])
+
+
+# ------------------------------------------------------------- raw28ntsc
+
+def _raw28_rl():
+    from cvsim_tpu.models.raw28 import RawTiming, rate_preset
+    return RawTiming(rate_preset("ntsc28")).raw_length
+
+
+def _raw28_capture_clean(n_fields=4, seed=42):
+    """Clean NTSC-ish capture: 12 serration pulses then 262 lines of
+    hsync + ramp + 8-sample chroma ripple + small noise."""
+    rl = _raw28_rl()
+    rng = np.random.default_rng(seed)
+    out = []
+    hsync_len = int(rl * 0.09)
+    for _ in range(n_fields):
+        for _ in range(12):
+            half = np.full(rl // 2, 70, np.uint8)
+            half[: int(rl * 0.05)] = 10
+            out.append(half)
+        for line in range(262):
+            row = np.full(rl, 70, np.uint8)
+            row[:hsync_len] = 10
+            a0 = hsync_len + int(rl * 0.06)
+            n = rl - a0 - 8
+            x = np.arange(n)
+            seg = (80 + 150 * x / n + 12 * np.sin(2 * np.pi * x / 8 + line)
+                   + rng.integers(-3, 4, n))
+            row[a0:a0 + n] = np.clip(seg, 0, 255).astype(np.uint8)
+            out.append(row)
+    return np.concatenate(out)
+
+
+def _raw28_capture_jittery(n_fields=4, seed=3):
+    """Line-length jitter (+-6 samples), slow DC drift, gaussian noise:
+    stresses the per-line re-lock, fractional pacing, DC tracker, AGC."""
+    rl = _raw28_rl()
+    rng = np.random.default_rng(seed)
+    out = []
+    hsync_len = int(rl * 0.09)
+    t = 0
+    for _ in range(n_fields):
+        for _ in range(12):
+            half = np.full(rl // 2, 70, np.uint8)
+            half[: int(rl * 0.05)] = 10
+            out.append(half)
+        for line in range(262):
+            ll = rl + int(rng.integers(-6, 7))
+            drift = 8.0 * np.sin(2 * np.pi * (t / (rl * 262 * 2.0)))
+            t += ll
+            row = np.full(ll, 70, np.float64)
+            row[:hsync_len] = 10
+            a0 = hsync_len + int(rl * 0.06)
+            n = ll - a0 - 8
+            x = np.arange(n)
+            row[a0:a0 + n] = (80 + 110 * x / n
+                              + 14 * np.sin(2 * np.pi * x / 8 + 0.3 * line))
+            row += drift + rng.normal(0, 2.0, ll)
+            out.append(np.clip(row, 0, 255).astype(np.uint8))
+    return np.concatenate(out)
+
+
+RAW28_CASES = [
+    ("clean", "clean", ()),
+    ("jittery", "jittery", ()),
+    ("noequ", "clean", ("noequ",)),
+    ("nowequ", "clean", ("nowequ",)),
+    ("nosc", "clean", ("nosc",)),
+    ("showsc", "clean", ("showsc",)),
+    ("marksig", "clean", ("marksig",)),
+    ("nosig", "clean", ("nosig",)),
+]
+
+
+@pytest.mark.parametrize("name,capkind,flags", RAW28_CASES,
+                         ids=[c[0] for c in RAW28_CASES])
+def test_raw28_matches_reference(name, capkind, flags):
+    """ffmpeg_raw28ntsc.cpp full decode loop (:625-850, :1012-1034):
+    3-pole DC-normalized sync detection, vsync hunt with equalization-pulse
+    AGC, per-line hsync re-lock with fractional scanline pacing, float64
+    double-truncation equalization, 8x-fsc Y/C separation INCLUDING the
+    static int_chroma[] tail leaking across scanlines and fields, and the
+    lock+240H read-cursor pacing. Three full fields, bit-exact."""
+    from cvsim_tpu.models.raw28 import Raw28Decoder, rate_preset
+
+    cap = (_raw28_capture_clean() if capkind == "clean"
+           else _raw28_capture_jittery())
+    ref_frames = ref_extract.run_raw28(cap, 3, *flags)
+    assert ref_frames.shape[0] == 3
+    # reference output is gray triplets
+    np.testing.assert_array_equal(ref_frames[..., 0], ref_frames[..., 1])
+
+    kw = {}
+    if "noequ" in flags:
+        kw["equalize"] = False
+    if "nowequ" in flags:
+        kw["wp_equalize"] = False
+    if "nosig" in flags:
+        kw["disable_sync"] = True
+    if "nosc" in flags:
+        kw["separate_chroma"] = False
+    if "showsc" in flags:
+        kw["show_subcarrier"] = True
+    if "marksig" in flags:
+        kw["mark_sync"] = True
+    dec = Raw28Decoder(rate_preset("ntsc28"), width=1820, height=262, **kw)
+    dec.feed(cap)
+    for k in range(3):
+        mine = dec.decode_field()
+        assert mine is not None, f"{name}: decoder starved at field {k}"
+        np.testing.assert_array_equal(
+            ref_frames[k][..., 0], mine, err_msg=f"{name} field {k}")
