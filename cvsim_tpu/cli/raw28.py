@@ -17,7 +17,7 @@ from cvsim_tpu.models.raw28 import Raw28Decoder, rate_preset
 def run(argv):
     inputs = []
     output = ""
-    width = 720
+    width = None  # default: full raster width, (rl+1)&~1 (preset_NTSC :396)
     srate = "ntsc28"
     use_422 = True
     kw = dict()
@@ -61,12 +61,21 @@ def run(argv):
         print("raw28ntsc needs -i <raw|-> and -o <out.y4m>", file=sys.stderr)
         return 1
 
-    height = 240  # one field of 262-line raster renders 240 visible lines
-    dec = Raw28Decoder(rate_preset(srate), width=width, height=height, **kw)
+    # Reference geometry: preset_NTSC() runs after parse_argv in main
+    # (ffmpeg_raw28ntsc.cpp:877) and sets height=262, width=(rl+1)&~1
+    # (:395-396) — each decoded 262-line field raster becomes ONE output
+    # frame at 59.94 fps, full raster width, no line doubling. (The
+    # reference thereby clobbers -width; we honor it when given.)
+    rate = rate_preset(srate)
+    if width is None:
+        from cvsim_tpu.models.raw28 import RawTiming
+        width = (RawTiming(rate).raw_length + 1) & ~1
+    height = 262
+    dec = Raw28Decoder(rate, width=width, height=height, **kw)
 
     # one output frame per decoded field -> 59.94 fps progressive
     # (output_field_rate {60000,1001}, ffmpeg_raw28ntsc.cpp:219)
-    hdr = y4m.Y4MHeader(width=width, height=height * 2,
+    hdr = y4m.Y4MHeader(width=width, height=height,
                         fps=Fraction(60000, 1001), interlacing="p",
                         colorspace="422" if use_422 else "420jpeg")
     fout = open(output, "wb")
@@ -88,15 +97,13 @@ def run(argv):
                     field, uv = result
                 else:
                     field, uv = result, None
-                frame = np.repeat(field, 2, axis=0)  # bob to full height
+                frame = field  # one frame per field raster (no line doubling)
                 if uv is not None:
                     u, v = uv
                     cb = np.clip(128 + u * (224.0 / 255.0) / 1.772,
                                  0, 255).astype(np.uint8)
                     cr = np.clip(128 + v * (224.0 / 255.0) / 1.402,
                                  0, 255).astype(np.uint8)
-                    cb = np.repeat(cb, 2, axis=0)
-                    cr = np.repeat(cr, 2, axis=0)
                     if use_422:
                         writer.write(frame, cb[:, 0::2], cr[:, 0::2])
                     else:
