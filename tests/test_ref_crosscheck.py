@@ -81,14 +81,15 @@ def _oracle_gen2(rgb, field, fieldno, cfg):
                                 cfg.get("preemphasis_cut", 1000000.0))
     if cfg.get("hs", False):
         y = ref.head_switching(y, field, cfg["hs_point"], cfg["hs_phase"],
-                               0.0, ntsc=True, fill=0)
+                               0.0, ntsc=cfg.get("ntsc", True), fill=0)
     y, i, q = ref.chroma_from_luma_yiq(y, i, q, fieldno, field, amp_back,
                                        ps, po)
     if cfg.get("vhs", False):
         luma_cut, chroma_cut, _, delay = VHS_TABLE[cfg.get("speed", 0)]
         y = ref.vhs_luma_lowpass_yiq(y, luma_cut)
         i, q = ref.vhs_chroma_lowpass_yiq(i, q, chroma_cut, delay)
-        if cfg.get("vblend", True):
+        if cfg.get("vblend", True) and cfg.get("ntsc", True):
+            # vhs_chroma_vert_blend && output_ntsc (ffmpeg_ntsc.cpp:1843)
             i, q = ref.vhs_chroma_vert_blend_yiq(i, q)
         y = ref.vhs_sharpen_yiq(y, luma_cut, cfg.get("sharpen", 1.5))
         if not cfg.get("svideo", False):
@@ -130,6 +131,16 @@ GEN2_CASES = [
      {"hs": True, "hs_point": 0.1, "hs_phase": -0.005,
       "hs_phase_noise": 0.0}),
     ("amps", 0, 2, {"amp": 40, "amp_back": 60}),
+    # ---- PAL gen-2 (ffmpeg_ntsc.cpp:1661-1675: 312.5-line head-switch
+    # raster, y -= (312-288)*2; :1843: vblend gated on output_ntsc). The
+    # subcarrier phase tables have no PAL branch in gen-2, so these two
+    # stages are the whole PAL surface. int(0.1*312.5)=31 -> bar row
+    # 62+field-48 = 14+field, on-raster for the 24-line frame.
+    ("pal_head_switching", 0, 4,
+     {"ntsc": False, "hs": True, "hs_point": 0.1, "hs_phase": 0.17,
+      "hs_phase_noise": 0.0}),
+    ("pal_vhs_lp_vblend_gated", 1, 5,
+     {"ntsc": False, "vhs": True, "speed": 1}),
 ]
 
 
