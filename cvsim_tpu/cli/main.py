@@ -196,7 +196,7 @@ def _run_common(st, gen1: bool):
         audio_dst = st.audio_out
         want_mux = (not audio_dst and st.output_file
                     and not st.output_file.endswith(".y4m")
-                    and ffmpeg_pipe.have_ffmpeg())
+                    and ffmpeg_pipe.have_backend())
         if want_mux:
             import tempfile
 
@@ -211,18 +211,8 @@ def _run_common(st, gen1: bool):
             else:
                 pts_packets = None
                 if st.audio_pts_in:
-                    log_rate, pkts = None, []
-                    with open(st.audio_pts_in) as f:
-                        for line in f:
-                            parts = line.split()
-                            if not parts:
-                                continue
-                            if parts[0] == "rate":
-                                log_rate = int(parts[1])
-                                continue
-                            pkts.append((None if parts[0] == "none"
-                                         else int(parts[0]), int(parts[1])))
-                    pts_packets = (log_rate, pkts)
+                    from cvsim_tpu.host import timing as _t
+                    pts_packets = _t.read_audio_pts_log(st.audio_pts_in)
                 pipe.run_audio(st.audio_in, audio_dst,
                                pts_packets=pts_packets)
             if want_mux:

@@ -115,6 +115,9 @@ def run_serve(argv) -> int:
         a = argv[i].lstrip("-")
         i += 1
         if a == "socket":
+            if i >= len(argv):
+                print("-socket needs a path", file=sys.stderr)
+                return 1
             sock_path = argv[i]; i += 1
         elif a == "prime":
             prime = True
@@ -151,7 +154,12 @@ def run_serve(argv) -> int:
                         os.chdir(req["cwd"])
                     rc = climain.main(req.get("argv", []))
                 except SystemExit as e:
-                    rc = int(e.code or 0)
+                    # SystemExit.code may be a message string (sys.exit("x"))
+                    if isinstance(e.code, int) or e.code is None:
+                        rc = int(e.code or 0)
+                    else:
+                        print(f"cvsim serve: {e.code}", file=sys.stderr)
+                        rc = 1
                 except BaseException as e:   # report, keep serving
                     print(f"cvsim serve: {type(e).__name__}: {e}",
                           file=sys.stderr)

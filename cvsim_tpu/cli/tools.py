@@ -168,13 +168,17 @@ def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
     """Drive input frames at the output field rate; per_field(frame(s),
     fieldno) -> RGB [H, W, 3] output frame."""
     writer, out_finalize = _open_tool_writer(args)
-    for frames, current in _advance_fields(args, multi):
-        frame = frames if multi else frames[0]
-        _write_rgb(writer, np.asarray(per_field(frame, current)),
-                   args.use_422)
-        print(f"\x0dOutput field {current} ", end="", file=sys.stderr)
-    print("", file=sys.stderr)
-    out_finalize()
+    try:
+        for frames, current in _advance_fields(args, multi):
+            frame = frames if multi else frames[0]
+            _write_rgb(writer, np.asarray(per_field(frame, current)),
+                       args.use_422)
+            print(f"\x0dOutput field {current} ", end="", file=sys.stderr)
+        print("", file=sys.stderr)
+    finally:
+        # always finalize: leaves no live encoder subprocess behind in the
+        # resident daemon, and surfaces encoder exit status
+        out_finalize()
     return 0
 
 
@@ -193,17 +197,19 @@ def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
             _write_rgb(writer, out_rgb, args.use_422)
             print(f"\x0dOutput field {fieldno} ", end="", file=sys.stderr)
 
-    buf_frames, buf_fields = [], []
-    for frames, current in _advance_fields(args, multi):
-        buf_frames.append(_last_frame(frames))
-        buf_fields.append(current)
-        if len(buf_frames) >= batch:
+    try:
+        buf_frames, buf_fields = [], []
+        for frames, current in _advance_fields(args, multi):
+            buf_frames.append(_last_frame(frames))
+            buf_fields.append(current)
+            if len(buf_frames) >= batch:
+                flush(buf_frames, buf_fields)
+                buf_frames, buf_fields = [], []
+        if buf_frames:
             flush(buf_frames, buf_fields)
-            buf_frames, buf_fields = [], []
-    if buf_frames:
-        flush(buf_frames, buf_fields)
-    print("", file=sys.stderr)
-    out_finalize()
+        print("", file=sys.stderr)
+    finally:
+        out_finalize()
     return 0
 
 
@@ -532,6 +538,19 @@ def run_frameblend(argv):
     out_stream, out_finalize = _open_video_output(args.output)
     writer = y4m.Y4MWriter(out_stream, out_hdr)
 
+    try:
+        _run_frameblend_loop(args, reader, writer, out_rate, fps, framealt,
+                             fullframealt, squelch, gdec, genc)
+    finally:
+        in_cleanup()
+        out_finalize()
+    return 0
+
+
+def _run_frameblend_loop(args, reader, writer, out_rate, fps, framealt,
+                         fullframealt, squelch, gdec, genc):
+    from cvsim_tpu.models import restore
+
     it = iter(reader)
     frames = []        # RGB numpy frames
     frame_t = []       # in output-frame units
@@ -567,9 +586,6 @@ def run_frameblend(argv):
         if eof and current > (frame_t[-1] if frame_t else 0) + 1:
             break
     print("", file=sys.stderr)
-    in_cleanup()
-    out_finalize()
-    return 0
 
 
 def run_filmac(argv):
@@ -671,13 +687,22 @@ def run_normalize_ts(argv):
             reader, proc = ffmpeg_pipe.open_video_reader(
                 in_path, pkt_log=auto_log)
             w = y4m.Y4MWriter(out, reader.header)
-            for yf, uf, vf in reader:
-                w.write(yf, uf, vf)
-                n += 1
-            proc.stdout.close()
-            proc.wait()
-            packets = read_pkt_log(auto_log)
-            os.unlink(auto_log)
+            try:
+                for yf, uf, vf in reader:
+                    w.write(yf, uf, vf)
+                    n += 1
+                proc.stdout.close()
+                rc = proc.wait()
+                if rc != 0:
+                    # a decoder that died mid-stream looks like clean EOF
+                    # to the Y4M reader — don't report a truncated remux
+                    # as success
+                    raise RuntimeError(
+                        f"demuxer exited with rc {rc} after {n} frames")
+                packets = read_pkt_log(auto_log)
+            finally:
+                if os.path.exists(auto_log):
+                    os.unlink(auto_log)
             if "pts_out" not in args.extra:
                 args.extra["pts_out"] = args.output + ".pts"
         else:

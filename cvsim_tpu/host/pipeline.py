@@ -370,12 +370,17 @@ class CompositePipeline:
             if xt is None:
                 return
             p, _, d = xt.partition(":")
-            pts, dur = int(p), max(1, int(d))
+            dur = max(1, int(d))
             if clock.log is None:
                 clock.log = []
-            if pts < 0:    # container carried no pts: extend by cadence
+            if p in ("n", "-1"):  # no container pts: extend by cadence
+                # ("n" from cvsim-av; "-1" accepted for older binaries —
+                # real negative pts pass through, they are legitimate for
+                # streams with nonzero start offsets)
                 pts = (clock.log[-1][0] + clock.log[-1][1]
                        if clock.log else 0)
+            else:
+                pts = int(p)
             clock.log.append((pts, dur))
 
         out_fps = (self._field_rate / 2 if out.interlaced_output

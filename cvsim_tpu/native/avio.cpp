@@ -214,11 +214,14 @@ struct Y4MOut {
 
   void frame(const uint8_t *y, int ystride, const uint8_t *u, const uint8_t *v,
              int cstride, bool ts = false, int64_t pts90k = -1,
-             int64_t dur90k = -1) {
-    // with ts, EVERY frame gets a marker — pts90k=-1 means "no container
-    // pts, extend by cadence"; omitting the marker would desynchronize
-    // the consumer's frame-indexed duration map
-    if (ts)
+             int64_t dur90k = -1, bool has_pts = true) {
+    // with ts, EVERY frame gets a marker — "n" means "no container
+    // pts, extend by cadence" (a distinct token, NOT -1: real container
+    // pts can be negative after rescale); omitting the marker would
+    // desynchronize the consumer's frame-indexed duration map
+    if (ts && !has_pts)
+      printf("FRAME Xt=n:%lld\n", (long long)dur90k);
+    else if (ts)
       printf("FRAME Xt=%lld:%lld\n", (long long)pts90k, (long long)dur90k);
     else
       fputs("FRAME\n", stdout);
@@ -295,7 +298,7 @@ int cmd_decode(const Args &a) {
                                      tb90k)
                       : dur90k_cfr;
     y4m.frame(src->data[0], src->linesize[0], src->data[1], src->data[2],
-              src->linesize[1], a.ts, p90, d90);
+              src->linesize[1], a.ts, p90, d90, pts != AV_NOPTS_VALUE);
     if (flog) fprintf(flog, "%lld %lld\n", (long long)p90, (long long)d90);
   };
 
@@ -603,6 +606,7 @@ int cmd_encode(const Args &a) {
 
   int64_t n = 0;
   double video_t = 0.0;
+  double last_dur_t = 0.0;  // VFR: last frame's duration in seconds
   while (true) {
     check(av_frame_make_writable(vf), "frame writable");
     if (!in.read_frame(vf)) break;
@@ -615,6 +619,7 @@ int cmd_encode(const Args &a) {
                     : plog.entries.back().first +
                           (n - (int64_t)plog.entries.size() + 1) * e.second;
       video_t = vf->pts / (double)plog.rate;
+      last_dur_t = e.second / (double)plog.rate;
     } else {
       vf->pts = n;
       video_t = n * in.fd / (double)in.fn;
@@ -625,7 +630,9 @@ int cmd_encode(const Args &a) {
     mux_from(vc, vs);
     n++;
   }
-  pump_audio(video_t + (vfr ? 0.0 : in.fd / (double)in.fn));
+  // extend audio past the last frame's START by its full duration
+  // (CFR: one frame period; VFR: the log's last-entry duration)
+  pump_audio(video_t + (vfr ? last_dur_t : in.fd / (double)in.fn));
   check(avcodec_send_frame(vc, nullptr), "flush video");
   mux_from(vc, vs);
   if (ac) {

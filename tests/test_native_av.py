@@ -311,3 +311,52 @@ def test_run_audio_container_master_clock(tmp_path):
     # (0.5s) at the pipeline rate, within a packet of slack
     assert abs(got.shape[0] - cfg.audio.rate // 2) < 4096
     assert got.max() > 6000
+
+
+def test_cli_mux_audio_without_ffmpeg_binary(tmp_path, monkeypatch):
+    """to-composite with -audio-in and a container output muxes BOTH
+    streams when only the native backend exists (no ffmpeg on PATH) —
+    the want_mux gate must use have_backend(), not have_ffmpeg()
+    (reference one-container shape, ffmpeg_to_composite.cpp:2034-2106)."""
+    from cvsim_tpu.cli.main import main
+
+    monkeypatch.setattr(ffmpeg_pipe, "have_ffmpeg", lambda: False)
+    src = str(tmp_path / "in.y4m")
+    write_y4m(src, smooth_frames(4))
+    sr = 44100
+    t = np.arange(sr // 4) / sr
+    pcm = (np.sin(2 * np.pi * 440 * t) * 8000).astype(np.int16)
+    wav = str(tmp_path / "a.wav")
+    wavio.write_wav(wav, np.stack([pcm, pcm], 1), sr)
+    out = str(tmp_path / "out.mkv")
+    rc = main(["to-composite", "-i", src, "-audio-in", wav, "-o", out,
+               "-width", str(W), "-noise", "0"])
+    assert rc == 0
+    kinds = {s["type"] for s in ffmpeg_pipe.probe(out)["streams"]}
+    assert kinds == {"video", "audio"}
+
+
+def test_vfr_mux_audio_covers_last_frame(tmp_path):
+    """VFR encode must pump audio through the END of the last frame
+    (start + duration), not just its start — the CFR path's one-frame
+    extension, applied with the log's last-entry duration."""
+    tool = ffmpeg_pipe.av_tool()
+    sr = 44100
+    n_frames = 6
+    durs = [9000] * (n_frames - 1) + [45000]   # long-duration last frame
+    pts = np.concatenate([[0], np.cumsum(durs)[:-1]])
+    log = tmp_path / "vfr.log"
+    log.write_text("rate 90000\n" + "".join(
+        f"{p} {d}\n" for p, d in zip(pts, durs)))
+    total_s = float(np.sum(durs)) / 90000          # 0.9s
+    t = np.arange(int(sr * (total_s + 0.25))) / sr
+    pcm = (np.sin(2 * np.pi * 330 * t) * 8000).astype(np.int16)
+    wav = str(tmp_path / "a.wav")
+    wavio.write_wav(wav, np.stack([pcm, pcm], 1), sr)
+    out = str(tmp_path / "vfr.mkv")
+    encode(tool, out, smooth_frames(n_frames),
+           extra=["-pts-log", str(log), "-wav", wav])
+    audio = ffmpeg_pipe.read_audio(out, sr, 2)
+    # without the extension the mux stops at the last frame's START
+    # (0.4s) — half a second of audio short
+    assert audio.shape[0] >= int(total_s * sr) - 2048
