@@ -32,9 +32,8 @@ import jax.numpy as jnp
 
 from cvsim_tpu.config import iir_alpha
 from cvsim_tpu.ops.cmath import clips16
-from cvsim_tpu.ops.iir import iir_lowpass
 from cvsim_tpu.ops.noise import hiss_per_sample
-from cvsim_tpu.audio.chains import _interleaved_stage
+from cvsim_tpu.audio.chains import _bandpass_bank, _interleaved_stage
 
 
 class CassetteConfig(NamedTuple):
@@ -124,22 +123,10 @@ def cassette_audio_process(
     assert c == cfg.channels
     s = audio.astype(dtype) / 32768.0
 
-    # 1. bandpass bank
-    a_lo = iir_alpha(cfg.rate, cfg.lowpass_hz)
-    a_hi = iir_alpha(cfg.rate, cfg.highpass_hz)
-    sc = s.T
-    new_lo, new_hi = [], []
-    for p in range(cfg.bandpass_passes):
-        lp = iir_lowpass(sc, a_lo, state.bank_lo[:, p], axis=-1)
-        new_lo.append(lp[:, -1])
-        sc = lp
-    for p in range(cfg.bandpass_passes):
-        lp = iir_lowpass(sc, a_hi, state.bank_hi[:, p], axis=-1)
-        new_hi.append(lp[:, -1])
-        sc = sc - lp
-    s = sc.T
-    bank_lo = jnp.stack(new_lo, axis=-1)
-    bank_hi = jnp.stack(new_hi, axis=-1)
+    # 1. bandpass bank (shared with the VHS chain)
+    s, bank_lo, bank_hi = _bandpass_bank(
+        s, state.bank_lo, state.bank_hi, iir_alpha(cfg.rate, cfg.lowpass_hz),
+        iir_alpha(cfg.rate, cfg.highpass_hz), cfg.bandpass_passes)
 
     # 2. preemphasis (interleaved-stream quirk, 4 kHz)
     pre_reg = state.pre

@@ -82,6 +82,24 @@ def buzz_pulse_counts(cfg: AudioConfig, start_count: int, n: int):
     return pulse.sum(axis=-1).astype(np.uint8)
 
 
+def _bandpass_bank(s, state_lo, state_hi, a_lo, a_hi, passes: int):
+    """The reference's HiLoPass bank (ffmpeg_to_composite.cpp:133-228,
+    wired :2126-2131): per channel, `passes` serial lowpasses then
+    `passes` serial highpasses. s: [N, C] float; returns
+    (filtered [N, C], bank_lo [C, passes], bank_hi [C, passes])."""
+    new_lo, new_hi = [], []
+    sc = s.T  # [C, N]
+    for p in range(passes):
+        lp = iir_lowpass(sc, a_lo, state_lo[:, p], axis=-1)
+        new_lo.append(lp[:, -1])
+        sc = lp
+    for p in range(passes):
+        lp = iir_lowpass(sc, a_hi, state_hi[:, p], axis=-1)
+        new_hi.append(lp[:, -1])
+        sc = sc - lp
+    return sc.T, jnp.stack(new_lo, axis=-1), jnp.stack(new_hi, axis=-1)
+
+
 def _interleaved_stage(x, alpha, y0, kind: str):
     """One reference-quirk filter stage over the flattened interleaved stream.
 
@@ -109,22 +127,9 @@ def composite_audio_process(
     s = audio.astype(dtype) / 32768.0
 
     # --- 1. bandpass bank: per channel, 6 lowpasses then 6 highpasses ------
-    a_lo = iir_alpha(cfg.rate, cfg.lowpass_hz)
-    a_hi = iir_alpha(cfg.rate, cfg.highpass_hz)
-    new_lo = []
-    new_hi = []
-    sc = s.T  # [C, N]
-    for p in range(cfg.bandpass_passes):
-        lp = iir_lowpass(sc, a_lo, state.bank_lo[:, p], axis=-1)
-        new_lo.append(lp[:, -1])
-        sc = lp
-    for p in range(cfg.bandpass_passes):
-        lp = iir_lowpass(sc, a_hi, state.bank_hi[:, p], axis=-1)
-        new_hi.append(lp[:, -1])
-        sc = sc - lp
-    s = sc.T
-    bank_lo = jnp.stack(new_lo, axis=-1)
-    bank_hi = jnp.stack(new_hi, axis=-1)
+    s, bank_lo, bank_hi = _bandpass_bank(
+        s, state.bank_lo, state.bank_hi, iir_alpha(cfg.rate, cfg.lowpass_hz),
+        iir_alpha(cfg.rate, cfg.highpass_hz), cfg.bandpass_passes)
 
     # --- 2. preemphasis (interleaved-stream quirk) --------------------------
     pre_reg = state.pre

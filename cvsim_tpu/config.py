@@ -87,6 +87,9 @@ class CompositeConfig:
     vhs_head_switching_point: float = 1.0 - ((4.5 + 0.01) / 262.5)
     # gen-2 splits point vs phase (ffmpeg_ntsc.cpp:762-763)
     vhs_head_switching_phase: float = (1.0 - 0.01) / 262.5
+    # gen-1 default (ffmpeg_to_composite.cpp:275); gen-2 defaults to
+    # (1/500)/262.5 (ffmpeg_ntsc.cpp:764) — presets.parse_composite_flags
+    # sets that when parsing gen-2 flags
     vhs_head_switching_phase_noise: float = (1.0 / 300.0) / 262.5
     vhs_chroma_vert_blend: bool = True
     vhs_svideo_out: bool = False

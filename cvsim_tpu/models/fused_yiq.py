@@ -219,7 +219,8 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, tl: int):
 
     def kernel(r_ref, g_ref, b_ref, xi_ref, nk_ref, tt_ref, d_ref,
                tt3_ref, d3_ref, vt_ref, y_ref):
-        _TT.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
+        cs = _TTBinder()
+        cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         r = r_ref[0]
         g = g_ref[0]
         b = b_ref[0]
@@ -235,28 +236,28 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, tl: int):
         q = jnp.where(active, q, 0.0)
 
         if cfg.composite_in_chroma_lowpass:
-            i = _lowpass_writeback(i, _TT[0], 2, w, wp)
-            q = _lowpass_writeback(q, _TT[1], 4, w, wp)
+            i = _lowpass_writeback(i, cs[0], 2, w, wp)
+            q = _lowpass_writeback(q, cs[1], 4, w, wp)
 
         xi_col = xi_ref[0].astype(jnp.int32)
         y = _qam_encode(y, i, q, xi_col, amp, wp)
 
         if do_pre:
-            lp = _pole(y, _TT[2], 16.0, nb)
+            lp = _pole(y, cs[2], 16.0, nb)
             y = _trunc(y + (y - lp) * cfg.composite_preemphasis)
 
         if do_noise:
             y = y + _walk_rows_kernel(
                 nk_ref[0, 0, 0].astype(jnp.uint32),
                 pl.program_id(1) * tl, cfg.video_noise, 0, w, wp, tl,
-                _TT[7])
+                cs[7])
 
         y_ref[0] = jnp.where(active, y, 0.0)
 
     return kernel
 
 
-def _kernel_b_front(cfg, w, wp, l, tl, y, xi_col, nk_u, sin_a, cos_a):
+def _kernel_b_front(cfg, w, wp, l, tl, y, xi_col, nk_u, sin_a, cos_a, cs):
     """Decode + chroma/phase noise + VHS bandlimit (row-independent)."""
     nb = wp // BLOCK
     speed = cfg.vhs_tape_speed
@@ -272,8 +273,8 @@ def _kernel_b_front(cfg, w, wp, l, tl, y, xi_col, nk_u, sin_a, cos_a):
     if cfg.video_chroma_noise != 0:
         row0 = pl.program_id(1) * tl
         mag = cfg.video_chroma_noise
-        i = i + _walk_rows_kernel(nk_u, row0, mag, 0, w, wp, tl, _TT[7])
-        q = q + _walk_rows_kernel(nk_u, row0, mag, l * w, w, wp, tl, _TT[7])
+        i = i + _walk_rows_kernel(nk_u, row0, mag, 0, w, wp, tl, cs[7])
+        q = q + _walk_rows_kernel(nk_u, row0, mag, l * w, w, wp, tl, cs[7])
 
     if cfg.video_chroma_phase_noise != 0:
         if cfg.chroma_phase_noise_gen1_bug:
@@ -286,11 +287,11 @@ def _kernel_b_front(cfg, w, wp, l, tl, y, xi_col, nk_u, sin_a, cos_a):
         q = _trunc(q2)
 
     if cfg.emulating_vhs:
-        s = _pole3(y, _TT[3], 16.0, nb)
-        lp = _pole(s, _TT[3], 16.0, nb)
+        s = _pole3(y, cs[3], 16.0, nb)
+        lp = _pole(s, cs[3], 16.0, nb)
         y = jnp.where(active, _trunc(s + (s - lp) * 1.6), 0.0)
-        i = _lowpass_writeback(i, _TT[4], speed.chroma_delay_gen2, w, wp)
-        q = _lowpass_writeback(q, _TT[4], speed.chroma_delay_gen2, w, wp)
+        i = _lowpass_writeback(i, cs[4], speed.chroma_delay_gen2, w, wp)
+        q = _lowpass_writeback(q, cs[4], speed.chroma_delay_gen2, w, wp)
     return y, i, q
 
 
@@ -307,7 +308,7 @@ def _kernel_b_vblend(cfg, i, q):
     return vblend(i), vblend(q)
 
 
-def _kernel_b_back(cfg, w, wp, y, i, q, xi_col, keep):
+def _kernel_b_back(cfg, w, wp, y, i, q, xi_col, keep, cs):
     """Sharpen + recombine + dropout + output lowpass + YIQ->RGB
     (row-independent)."""
     nb = wp // BLOCK
@@ -315,7 +316,7 @@ def _kernel_b_back(cfg, w, wp, y, i, q, xi_col, keep):
     active = xw < w
 
     if cfg.emulating_vhs:
-        ts = _pole3(y, _TT[5], 0.0, nb)
+        ts = _pole3(y, cs[5], 0.0, nb)
         y = jnp.where(active,
                       _trunc(y + (y - ts) * (cfg.vhs_out_sharpen * 2.0)), 0.0)
         if not cfg.vhs_svideo_out:
@@ -332,11 +333,11 @@ def _kernel_b_back(cfg, w, wp, y, i, q, xi_col, keep):
 
     if cfg.composite_out_chroma_lowpass:
         if cfg.composite_out_chroma_lowpass_lite:
-            i = _lowpass_writeback(i, _TT[6], 1, w, wp)
-            q = _lowpass_writeback(q, _TT[6], 1, w, wp)
+            i = _lowpass_writeback(i, cs[6], 1, w, wp)
+            q = _lowpass_writeback(q, cs[6], 1, w, wp)
         else:
-            i = _lowpass_writeback(i, _TT[0], 2, w, wp)
-            q = _lowpass_writeback(q, _TT[1], 4, w, wp)
+            i = _lowpass_writeback(i, cs[0], 2, w, wp)
+            q = _lowpass_writeback(q, cs[1], 4, w, wp)
 
     r = _trunc((1.000 * y + 0.956 * i + 0.621 * q) / 256.0)
     g = _trunc((1.000 * y - 0.272 * i - 0.647 * q) / 256.0)
@@ -363,23 +364,23 @@ class _TTBinder:
         return tuple(r[k] for r in self.refs)
 
 
-_TT = _TTBinder()
-
 
 def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
     """Single-tile kernel: full field resident, in-kernel vertical blend."""
 
     def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
                tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref):
-        _TT.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
+        cs = _TTBinder()
+        cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         y = y_ref[0]
         xi_col = xi_ref[0].astype(jnp.int32)
         y, i, q = _kernel_b_front(cfg, w, wp, l, tl, y, xi_col,
                                   nk_ref[0, 0, 1].astype(jnp.uint32),
-                                  sc_ref[0, :, 0:1], sc_ref[0, :, 1:2])
+                                  sc_ref[0, :, 0:1], sc_ref[0, :, 1:2], cs)
         if cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc:
             i, q = _kernel_b_vblend(cfg, i, q)
-        r, g, b = _kernel_b_back(cfg, w, wp, y, i, q, xi_col, drop_ref[0])
+        r, g, b = _kernel_b_back(cfg, w, wp, y, i, q, xi_col, drop_ref[0],
+                                 cs)
         r_ref[0] = r
         g_ref[0] = g
         b_ref[0] = b
@@ -392,12 +393,13 @@ def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
 
     def kernel(y_ref, xi_ref, nk_ref, sc_ref, tt_ref, d_ref,
                tt3_ref, d3_ref, vt_ref, y_out, i_out, q_out):
-        _TT.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
+        cs = _TTBinder()
+        cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         y = y_ref[0]
         xi_col = xi_ref[0].astype(jnp.int32)
         y, i, q = _kernel_b_front(cfg, w, wp, l, tl, y, xi_col,
                                   nk_ref[0, 0, 1].astype(jnp.uint32),
-                                  sc_ref[0, :, 0:1], sc_ref[0, :, 1:2])
+                                  sc_ref[0, :, 0:1], sc_ref[0, :, 1:2], cs)
         y_out[0] = y
         i_out[0] = i
         q_out[0] = q
@@ -410,10 +412,11 @@ def _make_kernel_b2(cfg: CompositeConfig, w: int, wp: int):
 
     def kernel(y_ref, i_ref, q_ref, xi_ref, drop_ref, tt_ref, d_ref,
                tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref):
-        _TT.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
+        cs = _TTBinder()
+        cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         xi_col = xi_ref[0].astype(jnp.int32)
         r, g, b = _kernel_b_back(cfg, w, wp, y_ref[0], i_ref[0], q_ref[0],
-                                 xi_col, drop_ref[0])
+                                 xi_col, drop_ref[0], cs)
         r_ref[0] = r
         g_ref[0] = g
         b_ref[0] = b
@@ -429,8 +432,12 @@ def _alpha_consts(cfg: CompositeConfig):
     3: VHS luma cut, 4: VHS chroma cut, 5: VHS sharpen (4x luma cut),
     6: out 'tv' 2.6MHz, 7: the alpha-0.5 noise walk."""
     speed = cfg.vhs_tape_speed
-    cuts = [1300000.0, 600000.0,
-            max(cfg.composite_preemphasis_cut, 1.0),
+    # preemphasis row: the stage path gates on cut > 0, so <= 0 only ever
+    # fills an UNUSED row (1.0 dummy keeps iir_alpha finite); a positive
+    # sub-1Hz cut must pass through unclamped for stage/fused bit-identity
+    pre_cut = (cfg.composite_preemphasis_cut
+               if cfg.composite_preemphasis_cut > 0 else 1.0)
+    cuts = [1300000.0, 600000.0, pre_cut,
             speed.luma_cut, speed.chroma_cut, speed.luma_cut * 4.0,
             2600000.0]
     alphas = [float(iir_alpha(NTSC_RATE, c)) for c in cuts] + [0.5]

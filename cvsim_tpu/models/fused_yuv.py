@@ -163,10 +163,14 @@ def _alpha_consts_gen1(cfg: CompositeConfig):
     u_cut = 1300000.0
     v_cut = 600000.0 if cfg.ntsc else 1300000.0
     speed = cfg.vhs_tape_speed
+    # see fused_yiq._alpha_consts: <=0 fills an unused row; positive values
+    # pass through unclamped for stage/fused bit-identity
+    pre_cut = (cfg.composite_preemphasis_cut
+               if cfg.composite_preemphasis_cut > 0 else 1.0)
     specs = [
         (NTSC_RATE_422, u_cut), (NTSC_RATE_422, u_cut / 2),
         (NTSC_RATE_422, v_cut), (NTSC_RATE_422, v_cut / 2),
-        (NTSC_RATE, max(cfg.composite_preemphasis_cut, 1.0)),
+        (NTSC_RATE, pre_cut),
         (NTSC_RATE, speed.luma_cut),
         (NTSC_RATE_422, speed.chroma_cut),
         (NTSC_RATE, speed.luma_cut * 2),

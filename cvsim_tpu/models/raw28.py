@@ -321,7 +321,8 @@ class Raw28Decoder:
             sample_rate, self.t.one_scanline_time, self.t.one_frame_time)
         self.raw = np.zeros(0, np.uint8)
         self.dc = np.zeros(0, np.uint8)
-        self.pos = 0
+        self._pending = []     # fed chunks, concatenated lazily (feed() is
+        self.pos = 0           # O(chunk), not O(total buffered))
         # the reference's static int_chroma[] leaks its shifted tail across
         # scanlines AND fields (see decode_lines); zeros match the C static
         self._chroma_tail = None
@@ -332,10 +333,15 @@ class Raw28Decoder:
         if self.mark_sync:
             # paint detected sync pulses white (ffmpeg_raw28ntsc.cpp:589-590)
             r = np.where(d < SYNC_THRESHOLD, np.uint8(255), r)
-        self.raw = np.concatenate([self.raw, r])
-        self.dc = np.concatenate([self.dc, d])
+        self._pending.append((r, d))
 
     def _compact(self):
+        if self._pending:
+            self.raw = np.concatenate(
+                [self.raw] + [r for r, _ in self._pending])
+            self.dc = np.concatenate(
+                [self.dc] + [d for _, d in self._pending])
+            self._pending = []
         if self.pos > 0:
             self.raw = self.raw[self.pos:]
             self.dc = self.dc[self.pos:]

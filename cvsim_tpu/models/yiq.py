@@ -308,34 +308,12 @@ def head_switching_stage(
     """
     b, l, w = y.shape
     twidth = w + w // 10
-    tlines = 262.5 if ntsc else 312.5
-    t = twidth * tlines
-
-    if phase_noise != 0:
-        noise = uniform_pm1_per_field(keys, dtype) * jnp.asarray(phase_noise, dtype)
-    else:
-        noise = jnp.zeros((b,), dtype)
-
-    # C semantics (ffmpeg_ntsc.cpp:1666-1670): fmod is SIGN-PRESERVING and
-    # the (unsigned int) cast truncates toward zero then wraps mod 2^32.
-    # Negative phase/point (large -hs-noise draws or negative flag values)
-    # therefore wraps to a huge p — switch line far below the raster (no
-    # bar), x at the wrapped residue — not the positive jnp.mod.
-    def c_wrap_u32(v):
-        f = v - jnp.trunc(v)                       # fmod(v, 1.0)
-        return jnp.trunc(f * t).astype(jnp.int32).astype(jnp.uint32)
-
-    p_y = c_wrap_u32(point + noise)
-    p_x = c_wrap_u32(phase + noise)
-    vis_off = (262 - 240) * 2 if ntsc else (312 - 288) * 2
-    y_start = ((p_y // np.uint32(twidth)).astype(jnp.int32) * 2
-               + field_parity.astype(jnp.int32) - vis_off)
-    x_pos = (p_x % np.uint32(twidth)).astype(jnp.int32)
-    ishif = jnp.where(x_pos >= twidth // 2, x_pos - twidth, x_pos)
-
-    # frame row y maps to field line l = (y - parity)/2; y_start already has
-    # the parity baked in.
-    l_start = (y_start - field_parity.astype(jnp.int32)) // 2
+    # C semantics of the fmod/unsigned-cast geometry (sign-preserving fmod,
+    # truncate-toward-zero then wrap mod 2^32 — ffmpeg_ntsc.cpp:1666-1670)
+    # live in _head_switch_geometry, shared with the padded fast path.
+    ishif, l_start = _head_switch_geometry(
+        field_parity, keys, point=point, phase=phase,
+        phase_noise=phase_noise, twidth=twidth, ntsc=ntsc, dtype=dtype)
 
     shifts = jax.vmap(lambda s, l0: _head_switch_shift_schedule(s, l0, l))(ishif, l_start)  # [B, L]
 
@@ -605,14 +583,6 @@ def composite_layer_rgb(
         key=key, dtype=dtype)
     r, g, b = yiq_to_rgb(y, i, q, dtype)
     return jnp.stack([r, g, b], axis=-1).astype(jnp.uint8)
-
-
-def _fused_fits_vmem(l: int, w: int) -> bool:
-    """Whether a whole field fits VMEM-resident (single-tile fused mode).
-    The gen-2 fused path line-tiles larger rasters automatically; gen-1
-    does not yet, so its dispatcher still guards on this."""
-    wp = -(-w // 128) * 128
-    return l * wp <= 390_000
 
 
 def composite_layer_rgb_auto(rgb, fieldno, field_parity, key, *,

@@ -10,20 +10,22 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def roll_rows(a, shift, axis: int = -1, max_shift: int | None = None):
-    """out[..., x] = a[..., (x + shift) mod W] with a per-row integer shift.
+def roll_rows(a, shift, max_shift: int | None = None):
+    """out[..., x] = a[..., (x + shift) mod W] with a per-row integer shift
+    along the LAST axis (move other axes there first: the shift mask and
+    selects broadcast against axis -1 only).
 
     a: [..., W]; shift: int array broadcastable to a.shape[:-1].
     max_shift bounds the (already mod-W-reduced) shift values, trimming the
     barrel-shifter passes: e.g. subcarrier phases need 2 passes, not log2(W).
     """
-    w = a.shape[axis]
+    w = a.shape[-1]
     s = jnp.mod(jnp.asarray(shift, jnp.int32), w)[..., None]
     bound = (w - 1) if max_shift is None else min(max_shift, w - 1)
     nbits = max(1, bound.bit_length())
     for b in range(nbits):
         bit = ((s >> b) & 1) == 1
-        rolled = jnp.roll(a, -(1 << b), axis=axis)
+        rolled = jnp.roll(a, -(1 << b), axis=-1)
         a = jnp.where(bit, rolled, a)
     return a
 

@@ -328,6 +328,11 @@ def parse_composite_flags(argv: Sequence[str], gen2: bool = False) -> FlagState:
     st = FlagState()
     if gen2:
         st.video_noise = 2  # same default
+        # gen-2 defaults to 1/500th of a scanline of switch-point jitter
+        # (ffmpeg_ntsc.cpp:764); gen-1 is the 1/300 tool
+        # (ffmpeg_to_composite.cpp:275). Explicit
+        # -vhs-head-switching-noise-level below overrides either.
+        st.vhs_head_switching_phase_noise = (1.0 / 500.0) / 262.5
     it = iter(range(len(argv)))
     i = 0
 
