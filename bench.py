@@ -328,27 +328,58 @@ def e2e_daemon_fields_per_sec() -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _run_inner(flag: str, timeout_s: int) -> dict:
+    """Run `bench.py <flag>` as a watchdogged subprocess and parse its one
+    JSON stdout line. The device/link sections talk to the (possibly
+    tunneled) TPU with no way to bound a hung RPC in-process — the shared
+    tunnel has hour-scale congestion outages during which even a 1KB
+    transfer never returns, and a hung bench leaves the driver with NO
+    artifact at all. stderr streams through."""
+    r = subprocess.run([sys.executable, os.path.abspath(__file__), flag],
+                       cwd=REPO, stdout=subprocess.PIPE, text=True,
+                       timeout=timeout_s)
+    if r.returncode != 0:
+        raise RuntimeError(f"{flag} inner run failed rc={r.returncode}")
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if mode == "--device-inner":
+        out = {"tpu_fps": tpu_fields_per_sec()}
+        try:
+            out["hd_fps"] = hd1080i_fields_per_sec()
+        except Exception as e:
+            print(f"[bench] HD row failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+        print(json.dumps(out))
+        return
+    if mode == "--link-inner":
+        print(json.dumps({"link_mb_per_sec": link_mb_per_sec()}))
+        return
     result = {
         "metric": "480i_fields_per_sec_full_vhs_ep_chain_1chip",
         "unit": "fields/s",
     }
     base_fps = baseline_fields_per_sec()
     if mode in ("both", "--device"):
-        tpu_fps = tpu_fields_per_sec()
+        try:
+            dev = _run_inner("--device-inner", 2400)
+        except Exception as e:
+            print(f"[bench] device section failed/hung "
+                  f"({type(e).__name__}: {e}) — tunnel outage? recording "
+                  "value 0 so the artifact exists", file=sys.stderr)
+            dev = {"tpu_fps": 0.0}
+            result["device_bench_error"] = type(e).__name__
+        tpu_fps = dev["tpu_fps"]
         rt = tpu_fps / 59.94
         print(f"[bench] TPU: {tpu_fps:.1f} fields/s = {rt:.1f}x realtime; "
               f"speedup vs scalar baseline: {tpu_fps/base_fps:.1f}x",
               file=sys.stderr)
         result["value"] = round(tpu_fps, 2)
         result["vs_baseline"] = round(tpu_fps / base_fps, 2)
-        try:
-            result["hd1080i_fields_per_sec"] = round(
-                hd1080i_fields_per_sec(), 1)
-        except Exception as e:
-            print(f"[bench] HD row failed ({type(e).__name__}: {e})",
-                  file=sys.stderr)
+        if "hd_fps" in dev:
+            result["hd1080i_fields_per_sec"] = round(dev["hd_fps"], 1)
     if mode in ("both", "--e2e"):
         # the e2e rows ride the shared TPU tunnel, which has hour-scale
         # congestion episodes (transfers drop to ~0.1 MB/s); never let a
@@ -367,7 +398,7 @@ def main():
 
 
 def _run_e2e(result, base_fps):
-    link = link_mb_per_sec()
+    link = _run_inner("--link-inner", 300)["link_mb_per_sec"]
     print(f"[bench] link: {link:.1f} MB/s aggregate "
           f"(wire ceiling ~{link/0.59:.0f} fields/s at 0.59 MB/field)",
           file=sys.stderr)
