@@ -49,8 +49,18 @@ def _prime_transfer_channel():
     """Warm the host<->device transfer path in the background. On tunneled
     TPU hosts the first D2H of a process performs a channel handshake that
     can queue for seconds to minutes; doing a tiny round-trip concurrently
-    with demux/compile start-up hides it from the first real batch."""
+    with demux/compile start-up hides it from the first real batch.
+
+    Once per process: the serve daemon re-enters main() for every client
+    command, and a fresh prime RPC racing a command's FIRST program
+    execution is exactly the concurrent-transfer pattern that triggers the
+    tunnel's pathological program-load path (host/pipeline.py "serial
+    first GOP" notes)."""
     import threading
+
+    global _PRIME_THREAD
+    if _PRIME_THREAD is not None:
+        return
 
     def prime():
         try:
@@ -62,7 +72,6 @@ def _prime_transfer_channel():
         except Exception:
             pass   # priming is best-effort; real transfers will pay instead
 
-    global _PRIME_THREAD
     _PRIME_THREAD = threading.Thread(target=prime, name="cvsim-prime",
                                      daemon=True)
     _PRIME_THREAD.start()
@@ -124,26 +133,73 @@ def cmd_ntsc(argv):
         print("No output file specified", file=sys.stderr)
         return 1
     from cvsim_tpu.host.pipeline_yiq import YIQPipeline
-    from cvsim_tpu.host import y4m
+    from cvsim_tpu.host import ffmpeg_pipe
+
+    for flag, given in (("-checkpoint", st.checkpoint),
+                        ("-video-pts-in", st.video_pts_in)):
+        if given:
+            print(f"{flag} is not supported by the ntsc engine; ignoring",
+                  file=sys.stderr)
 
     die = _soft_sigint()
     cfg = st.to_run_config(gen1=False)
     pipe = YIQPipeline(cfg, frame_delay=st.frame_delay, die=die)
+    will_encode_video = bool(st.input_files and st.video_stream_index >= 0
+                             and st.output_file)
+
+    # audio first so a processed WAV can mux into the video container
+    # (same stage order as _run_common; -an disables like gen-1)
+    mux_wav = None
+    audio_tmp = None
     fields = 0
-    if st.input_files and st.output_file:
-        readers = []
-        files = []
-        for path in st.input_files:
-            f = open(path, "rb")
-            files.append(f)
-            readers.append(y4m.Y4MReader(f))
-        with open(st.output_file, "wb") as out:
-            fields = pipe.run_video(readers, out)
-        for f in files:
-            f.close()
-    if st.audio_in and st.audio_out:
-        pipe_a = _audio_pipe(cfg)
-        pipe_a.run_audio(st.audio_in, st.audio_out)
+    try:
+        if st.audio_in and st.audio_stream_index >= 0:
+            audio_dst = st.audio_out
+            want_mux = (not audio_dst and will_encode_video
+                        and not st.output_file.endswith(".y4m")
+                        and ffmpeg_pipe.have_backend())
+            if want_mux:
+                import tempfile
+
+                fd, audio_tmp = tempfile.mkstemp(suffix=".wav",
+                                                 prefix="cvsim_mux_")
+                os.close(fd)
+                audio_dst = audio_tmp
+            if audio_dst:
+                _audio_pipe(cfg).run_audio(st.audio_in, audio_dst)
+                if want_mux:
+                    mux_wav = audio_dst
+            else:
+                print("audio input given but no -audio-out and no container "
+                      "video output to mux into; skipping audio",
+                      file=sys.stderr)
+        if will_encode_video:
+            readers, cleanups = [], []
+            for path in st.input_files:
+                r, c = ffmpeg_pipe.resolve_video_input(path)
+                readers.append(r)
+                cleanups.append(c)
+            out_stream, finalize = ffmpeg_pipe.resolve_video_output(
+                st.output_file, mux_wav=mux_wav)
+            try:
+                fields = pipe.run_video(readers, out_stream)
+            except BaseException:
+                try:
+                    finalize()   # never mask the root cause
+                except Exception:
+                    pass
+                raise
+            else:
+                finalize()
+            finally:
+                for c in cleanups:
+                    c()
+    finally:
+        if audio_tmp:
+            try:
+                os.unlink(audio_tmp)
+            except OSError:
+                pass
     print(f"\n{fields} fields", file=sys.stderr)
     return 0
 
@@ -194,9 +250,19 @@ def _run_common(st, gen1: bool):
     audio_tmp = None
     if st.audio_in and st.audio_stream_index >= 0:
         audio_dst = st.audio_out
-        want_mux = (not audio_dst and st.output_file
+        # muxing needs the video stage to actually run (the container is
+        # written by the video encoder); without it the processed WAV
+        # would land in a temp file and be deleted
+        will_encode_video = bool(st.input_files
+                                 and st.video_stream_index >= 0
+                                 and st.output_file)
+        want_mux = (not audio_dst and will_encode_video
                     and not st.output_file.endswith(".y4m")
                     and ffmpeg_pipe.have_backend())
+        if not audio_dst and not want_mux:
+            print("audio input given but no -audio-out and no container "
+                  "video output to mux into; skipping audio",
+                  file=sys.stderr)
         if want_mux:
             import tempfile
 

@@ -7,6 +7,7 @@ where the tool is stateful) -> RGB -> Y4M at field rate.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import sys
 from fractions import Fraction
@@ -97,6 +98,8 @@ def _open_video_inputs(paths):
     all demux through libav; ffmpeg_posterize.cpp:789-813 cost class)."""
     from cvsim_tpu.host import ffmpeg_pipe
 
+    if not paths:
+        raise ValueError("needs at least one -i <input>")
     readers, cleanups = [], []
     for p in paths:
         r, c = ffmpeg_pipe.resolve_video_input(p)
@@ -110,7 +113,28 @@ def _open_video_output(path):
     H.264 container encode through the backend."""
     from cvsim_tpu.host import ffmpeg_pipe
 
+    if not path:
+        raise ValueError("needs -o <output>")
     return ffmpeg_pipe.resolve_video_output(path)
+
+
+@contextlib.contextmanager
+def _finalizing(out_finalize):
+    """Finalize the encoder on every exit (no live subprocess left behind
+    in the resident daemon), but on an exception suppress finalize's OWN
+    secondary error — closing a half-fed encoder exits nonzero on the
+    truncated stream, and that must not mask the root cause (same guard as
+    main._run_common's video stage)."""
+    try:
+        yield
+    except BaseException:
+        try:
+            out_finalize()
+        except Exception:
+            pass
+        raise
+    else:
+        out_finalize()
 
 
 def _advance_fields(args: _ToolArgs, multi: bool):
@@ -168,17 +192,13 @@ def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
     """Drive input frames at the output field rate; per_field(frame(s),
     fieldno) -> RGB [H, W, 3] output frame."""
     writer, out_finalize = _open_tool_writer(args)
-    try:
+    with _finalizing(out_finalize):
         for frames, current in _advance_fields(args, multi):
             frame = frames if multi else frames[0]
             _write_rgb(writer, np.asarray(per_field(frame, current)),
                        args.use_422)
             print(f"\x0dOutput field {current} ", end="", file=sys.stderr)
         print("", file=sys.stderr)
-    finally:
-        # always finalize: leaves no live encoder subprocess behind in the
-        # resident daemon, and surfaces encoder exit status
-        out_finalize()
     return 0
 
 
@@ -197,7 +217,7 @@ def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
             _write_rgb(writer, out_rgb, args.use_422)
             print(f"\x0dOutput field {fieldno} ", end="", file=sys.stderr)
 
-    try:
+    with _finalizing(out_finalize):
         buf_frames, buf_fields = [], []
         for frames, current in _advance_fields(args, multi):
             buf_frames.append(_last_frame(frames))
@@ -208,8 +228,6 @@ def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
         if buf_frames:
             flush(buf_frames, buf_fields)
         print("", file=sys.stderr)
-    finally:
-        out_finalize()
     return 0
 
 
@@ -539,11 +557,11 @@ def run_frameblend(argv):
     writer = y4m.Y4MWriter(out_stream, out_hdr)
 
     try:
-        _run_frameblend_loop(args, reader, writer, out_rate, fps, framealt,
-                             fullframealt, squelch, gdec, genc)
+        with _finalizing(out_finalize):
+            _run_frameblend_loop(args, reader, writer, out_rate, fps,
+                                 framealt, fullframealt, squelch, gdec, genc)
     finally:
         in_cleanup()
-        out_finalize()
     return 0
 
 
@@ -673,6 +691,8 @@ def run_normalize_ts(argv):
     if "pts_in" in args.extra:
         packets = read_pkt_log(args.extra["pts_in"])
 
+    if not args.inputs or not args.output:
+        raise ValueError("normalize-ts needs -i <in> -o <out>")
     in_path = args.inputs[0]
     auto_log = None
     if (packets is None and not in_path.endswith(".y4m")
@@ -682,7 +702,7 @@ def run_normalize_ts(argv):
 
     n = 0
     out, out_finalize = _open_video_output(args.output)
-    try:
+    with _finalizing(out_finalize):
         if auto_log is not None:
             reader, proc = ffmpeg_pipe.open_video_reader(
                 in_path, pkt_log=auto_log)
@@ -712,8 +732,6 @@ def run_normalize_ts(argv):
                 w.write(yf, uf, vf)
                 n += 1
             cleanup()
-    finally:
-        out_finalize()
 
     if packets is not None:
         states: dict[int, timing.StreamTsState] = {}

@@ -594,8 +594,7 @@ class CompositePipeline:
                              "cfg_hash": checkpoint.config_hash(cfg),
                              "next_field": int(fieldnos[n_real - 1]) + 1,
                              "frames_written": wrote["frames"],
-                             "base_idx": base_idx_box["v"],
-                             "audio_done": True},
+                             "base_idx": base_idx_box["v"]},
                             {"fy": np.asarray(fy), "fu": np.asarray(fu),
                              "fv": np.asarray(fv)})
                     if (_fail_after_gops is not None
@@ -761,6 +760,14 @@ def _audio_pad_fill(samples: np.ndarray, packets, rate: int,
     if log_rate and log_rate != rate:
         packets = [(None if p is None else round(p * rate / log_rate),
                     round(n * rate / log_rate)) for p, n in packets]
+    if len(samples) and packets and not any(n for _, n in packets):
+        # a log with no usable durations at all (container carries none and
+        # the logger couldn't attribute decoded samples): consuming 0 per
+        # packet would push the WHOLE stream behind pts-worth of silence —
+        # skip gap fill rather than corrupt
+        print("audio packet log carries no durations; skipping PTS gap fill",
+              file=sys.stderr)
+        return samples
     out = []
     cur = 0          # master-clock sample counter (output position)
     pos = 0          # consumed source samples

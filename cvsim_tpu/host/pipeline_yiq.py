@@ -173,10 +173,23 @@ class YIQPipeline:
         frame_idx = [0] * len(readers)
         eof = [False] * len(readers)
 
+        # -ss/-se/-t extension (the gen-2 reference has no transcode window;
+        # gen-1 semantics, pipeline.py read_loop: skip until start, rebase
+        # the field clock to zero at the first accepted field, stop at end).
+        # The audio side shares cfg.transcode_* (CompositePipeline.run_audio)
+        # so A/V stay on the same window.
+        rate = float(self._field_rate)
+        start_f = (int(np.ceil(cfg.transcode_start * rate))
+                   if cfg.transcode_start > 0 else 0)
+        end_f = (int(np.ceil(cfg.transcode_end * rate))
+                 if cfg.transcode_end >= 0 else None)
+
         current = 0
         batch = []
         while True:
             if self.die["die"]:
+                break
+            if end_f is not None and current >= end_f:
                 break
             # advance inputs whose next frame is due
             for k in range(len(readers)):
@@ -201,12 +214,13 @@ class YIQPipeline:
                 if frames[k] is not None:
                     src = frames[k]
                     break
-            if src is None:
+            if src is None or current < start_f:
                 current += 1
                 continue
-            parity = (current & 1) ^ 1
+            vf = current - start_f     # rebased output field counter
+            parity = (vf & 1) ^ 1
             field_rgb = src[parity::2]
-            batch.append((field_rgb, current, parity))
+            batch.append((field_rgb, vf, parity))
             current += 1
             if len(batch) >= self.gop:
                 self._flush(batch, writer)
@@ -218,4 +232,4 @@ class YIQPipeline:
         self._flush(batch, writer, final=True)
         if self.progress:
             print("", file=sys.stderr)
-        return current
+        return max(0, current - start_f)

@@ -3,6 +3,7 @@ ffmpeg_to_composite.cpp:2061)."""
 
 from __future__ import annotations
 
+import os
 import wave
 
 import numpy as np
@@ -18,12 +19,16 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 
 
 def write_wav(path: str, samples: np.ndarray, rate: int):
-    """samples: [N, C] int16-range."""
+    """samples: [N, C] int16-range. Atomic (tmp + rename): checkpoint
+    resume skips the audio stage when the output WAV exists, so a file
+    must never be observable half-written."""
     samples = np.asarray(samples)
     if samples.ndim == 1:
         samples = samples[:, None]
-    with wave.open(path, "wb") as w:
+    tmp = path + ".tmp"
+    with wave.open(tmp, "wb") as w:
         w.setnchannels(samples.shape[1])
         w.setsampwidth(2)
         w.setframerate(rate)
         w.writeframes(samples.astype("<i2").tobytes())
+    os.replace(tmp, path)

@@ -387,20 +387,31 @@ int cmd_decode_audio(const Args &a) {
 
   while (av_read_frame(fc, pkt) >= 0) {
     if (pkt->stream_index == aidx) {
+      AVRational smp = {1, dec->sample_rate};
+      int64_t log_pts = pkt->pts;
+      // containers without packet durations (raw ADTS, some MPEG-TS)
+      // would log n=0, which the pad-fill consumer reads as "this packet
+      // contributes no samples" — instead attribute the samples the
+      // decoder actually produces for this packet, the reference's own
+      // decoded-frame accounting (ffmpeg_to_composite.cpp:1892-1915)
+      int64_t ns = pkt->duration > 0
+                       ? av_rescale_q(pkt->duration, ast->time_base, smp)
+                       : -1;
+      check(avcodec_send_packet(dec, pkt), "send packet");
+      int64_t decoded = 0;
+      while (avcodec_receive_frame(dec, frame) == 0) {
+        decoded += frame->nb_samples;
+        emit(frame);
+      }
       if (alog) {
-        AVRational smp = {1, dec->sample_rate};
-        int64_t ns = pkt->duration > 0
-                         ? av_rescale_q(pkt->duration, ast->time_base, smp)
-                         : 0;
-        if (pkt->pts == AV_NOPTS_VALUE)
+        if (ns < 0) ns = decoded;
+        if (log_pts == AV_NOPTS_VALUE)
           fprintf(alog, "none %lld\n", (long long)ns);
         else
           fprintf(alog, "%lld %lld\n",
-                  (long long)av_rescale_q(pkt->pts, ast->time_base, smp),
+                  (long long)av_rescale_q(log_pts, ast->time_base, smp),
                   (long long)ns);
       }
-      check(avcodec_send_packet(dec, pkt), "send packet");
-      while (avcodec_receive_frame(dec, frame) == 0) emit(frame);
     }
     av_packet_unref(pkt);
   }
@@ -611,13 +622,19 @@ int cmd_encode(const Args &a) {
     check(av_frame_make_writable(vf), "frame writable");
     if (!in.read_frame(vf)) break;
     if (vfr) {
+      // rebase to the log's first entry: a raw demuxer log can start at a
+      // large container offset (MPEG-TS), while the audio clock below is
+      // 0-based — absolute pts would push the video `video_t` seconds
+      // ahead and pump the whole WAV out at the first frame
+      int64_t base = plog.entries.front().first;
       auto &e = n < (int64_t)plog.entries.size()
                     ? plog.entries[n]
                     : plog.entries.back();
-      vf->pts = n < (int64_t)plog.entries.size()
-                    ? e.first
-                    : plog.entries.back().first +
-                          (n - (int64_t)plog.entries.size() + 1) * e.second;
+      vf->pts = (n < (int64_t)plog.entries.size()
+                     ? e.first
+                     : plog.entries.back().first +
+                           (n - (int64_t)plog.entries.size() + 1) * e.second)
+                - base;
       video_t = vf->pts / (double)plog.rate;
       last_dur_t = e.second / (double)plog.rate;
     } else {

@@ -87,25 +87,4 @@ void hsync_dc_process(HsyncDcState* st, const uint8_t* in, long n,
     }
 }
 
-// Interleaved-plane packing helpers used by the pipeline's mux side: turning
-// [B][L][W] field batches into frame-interleaved planes is memory-bandwidth
-// bound host work; doing it in C keeps the Python driver off the hot path.
-void interleave_fields_u8(const uint8_t* top, const uint8_t* bottom,
-                          uint8_t* out, long lines, long width) {
-    for (long l = 0; l < lines; l++) {
-        std::memcpy(out + (2 * l) * width, top + l * width, width);
-        std::memcpy(out + (2 * l + 1) * width, bottom + l * width, width);
-    }
-}
-
-void bob_pack_u8(const uint8_t* field, uint8_t* out, long height, long width,
-                 int parity) {
-    // rows: parity=1 -> 1,1,3,3,...; parity=0 -> 0,2,2,4,4,...
-    for (long y = 0; y < height; y++) {
-        long sy = parity ? (y | 1) : ((y + 1) & ~1L);
-        if (sy >= height) sy -= 2;
-        std::memcpy(out + y * width, field + (sy / 2) * width, width);
-    }
-}
-
 }  // extern "C"

@@ -559,3 +559,93 @@ def test_cli_validation_and_defaults(tmp_path):
     assert main(["ntsc", "-audio-in", ain, "-audio-out", aout]) == 0
     got, _ = wavio.read_wav(aout)
     assert len(got) == 3000
+
+
+def test_ntsc_transcode_window(tmp_path):
+    """-ss/-se on the gen-2 engine (extension; the gen-2 reference has no
+    window): video honors the same window the shared audio path applies,
+    with the field clock rebased to zero at the window start (gen-1
+    semantics, pipeline.py read_loop)."""
+    src = make_clip(str(tmp_path / "in.y4m"), frames=8)
+    out = str(tmp_path / "out.y4m")
+    rc = main(["ntsc", "-i", src, "-o", out, "-width", str(W),
+               "-noise", "0", "-ss", "0.1", "-se", "0.2"])
+    assert rc == 0
+    _, frames = read_all(out)
+    full = str(tmp_path / "full.y4m")
+    assert main(["ntsc", "-i", src, "-o", full, "-width", str(W),
+                 "-noise", "0"]) == 0
+    _, all_frames = read_all(full)
+    # ~0.1s of 59.94 fields/s
+    assert 4 <= len(frames) <= 8 and len(frames) < len(all_frames)
+    # deterministic: the windowed run reproduces byte-identically
+    out2 = str(tmp_path / "out2.y4m")
+    assert main(["ntsc", "-i", src, "-o", out2, "-width", str(W),
+                 "-noise", "0", "-ss", "0.1", "-se", "0.2"]) == 0
+    with open(out, "rb") as f1, open(out2, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_audio_pad_fill_skips_durationless_log():
+    """A packet log with no usable durations (every n == 0) must not shove
+    the entire real stream behind pts-worth of silence — gap fill is
+    skipped and the samples pass through unchanged."""
+    from cvsim_tpu.host.pipeline import _audio_pad_fill
+
+    s = np.arange(4000, dtype=np.int64)[:, None]
+    out = _audio_pad_fill(s, [(0, 0), (2000, 0), (3900, 0)], 44100)
+    np.testing.assert_array_equal(out, s)
+
+
+def test_audio_without_mux_target_skips(tmp_path, capfd):
+    """-audio-in with a container -o but no video stage: the processed WAV
+    has nowhere to go (the container is written by the video encoder) —
+    say so and do nothing, instead of processing into a temp file that is
+    then deleted."""
+    t = np.arange(2000)
+    sine = (9000 * np.sin(2 * np.pi * 440 * t / 44100)).astype(np.int16)
+    ain = str(tmp_path / "a.wav")
+    wavio.write_wav(ain, np.stack([sine, sine], -1), 44100)
+    out = str(tmp_path / "out.mp4")
+    rc = main(["to-composite", "-audio-in", ain, "-o", out])
+    assert rc == 0
+    assert not os.path.exists(out)
+    assert "skipping audio" in capfd.readouterr().err
+
+
+def test_tool_missing_io_is_friendly(tmp_path):
+    """Missing -i/-o surfaces as a usage message (ValueError -> rc 1), not
+    an IndexError traceback."""
+    out = str(tmp_path / "x.y4m")
+    assert main(["normalize-ts", "-o", out]) == 1
+    assert main(["normalize-ts", "-i", out]) == 1
+    assert main(["posterize", "-o", out]) == 1
+    assert main(["posterize", "-i", out]) == 1
+
+
+def test_tool_finalize_does_not_mask_root_cause():
+    """_finalizing: an encoder that exits nonzero on the truncated stream
+    (secondary error) must not mask the loop's own exception."""
+    import pytest
+    from cvsim_tpu.cli.tools import _finalizing
+
+    def bad_finalize():
+        raise RuntimeError("container encoder exited with 1")
+
+    with pytest.raises(ValueError, match="root cause"):
+        with _finalizing(bad_finalize):
+            raise ValueError("root cause")
+    # no exception in the body: finalize's own failure must surface
+    with pytest.raises(RuntimeError, match="encoder exited"):
+        with _finalizing(bad_finalize):
+            pass
+
+
+def test_wav_write_atomic(tmp_path):
+    """write_wav is tmp+rename (checkpoint resume skips audio when the WAV
+    exists, so a half-written file must never be observable)."""
+    p = str(tmp_path / "a.wav")
+    wavio.write_wav(p, np.zeros((10, 1), np.int16), 44100)
+    assert os.path.exists(p) and not os.path.exists(p + ".tmp")
+    got, rate = wavio.read_wav(p)
+    assert rate == 44100 and len(got) == 10

@@ -360,3 +360,40 @@ def test_vfr_mux_audio_covers_last_frame(tmp_path):
     # without the extension the mux stops at the last frame's START
     # (0.4s) — half a second of audio short
     assert audio.shape[0] >= int(total_s * sr) - 2048
+
+
+def test_vfr_pts_log_offset_rebased(tmp_path):
+    """A raw demuxer frame log can start at a large container offset
+    (MPEG-TS); encode -pts-log must rebase video to the log's first entry
+    so the 0-based audio clock stays aligned (and the whole WAV isn't
+    pumped out at the first frame)."""
+    tool = ffmpeg_pipe.av_tool()
+    sr = 44100
+    n_frames = 6
+    base = 1_260_000_000                         # ~14000s offset
+    durs = [9000] * n_frames
+    pts = base + np.concatenate([[0], np.cumsum(durs)[:-1]])
+    log = tmp_path / "vfr.log"
+    log.write_text("rate 90000\n" + "".join(
+        f"{p} {d}\n" for p, d in zip(pts, durs)))
+    t = np.arange(int(sr * 0.8)) / sr
+    pcm = (np.sin(2 * np.pi * 330 * t) * 8000).astype(np.int16)
+    wav = str(tmp_path / "a.wav")
+    wavio.write_wav(wav, np.stack([pcm, pcm], 1), sr)
+    out = str(tmp_path / "vfr.mkv")
+    encode(tool, out, smooth_frames(n_frames),
+           extra=["-pts-log", str(log), "-wav", wav])
+    # demuxed video starts near zero, not at the container offset
+    flog = str(tmp_path / "frames.log")
+    reader, proc = ffmpeg_pipe.open_video_reader(out, frame_log=flog)
+    dec = list(reader)
+    proc.stdout.close()
+    proc.wait()
+    assert len(dec) == n_frames
+    entries, rate = timing.read_frame_pts_log(flog)
+    assert abs(entries[0][0]) <= rate // 10       # < 0.1s, not ~14000s
+    # audio covers the video span (frames end at 0.6s) without a
+    # 14000s-of-silence prefix
+    audio = ffmpeg_pipe.read_audio(out, sr, 2)
+    assert int(0.5 * sr) <= audio.shape[0] <= int(2.0 * sr)
+    assert np.abs(audio[: int(0.3 * sr)]).max() > 1000
