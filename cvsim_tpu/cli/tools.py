@@ -164,8 +164,9 @@ def _advance_fields(args: _ToolArgs, multi: bool):
                     if uf is None:
                         uf = np.full_like(yf, 128)
                         vf = uf
-                    frames[k] = _scale_frame_to(yf, uf, vf, args.width,
-                                                args.height)
+                    frames[k] = _scale_underscan(
+                        yf, uf, vf, args.width, args.height,
+                        args.extra.get("underscan", 0))
                     frame_idx[k] += 1
                     next_at[k] = timing.frame_pts_to_field(
                         frame_idx[k], fpss[k], args.field_rate)
@@ -523,18 +524,50 @@ def _parse_gamma(v: str) -> float:
     return float(v)
 
 
+def _parse_rate(v: str) -> Fraction:
+    """The InputFile tools' -or parser (ffmpeg_vhsled.cpp:516-544):
+    "n", "n:d", "n/d" (or backslash); rates below 5 fps clamp to 5."""
+    for sep in (":", "/", "\\"):
+        if sep in v:
+            n, d = v.split(sep, 1)
+            r = Fraction(float(n)) / max(1, int(d))
+            break
+    else:
+        r = Fraction(v)
+    if r < 5:
+        r = Fraction(5)
+    return r
+
+
+def _scale_underscan(yf, uf, vf, w, h, underscan):
+    """Frame scale with the InputFile tools' -underscan: the image renders
+    at (100-u)% size centered on a black canvas (ffmpeg_vhsled.cpp:307-331,
+    same block in frameblend.cpp/filmac.cpp)."""
+    if underscan <= 0:
+        return _scale_frame_to(yf, uf, vf, w, h)
+    u = min(99, underscan)
+    fw = max(1, (w * (100 - u)) // 100)
+    fh = max(1, (h * (100 - u)) // 100)
+    img = np.asarray(_scale_frame_to(yf, uf, vf, fw, fh))
+    canvas = np.zeros((h, w, 3), img.dtype)
+    x0, y0 = (w - fw) // 2, (h - fh) // 2
+    canvas[y0:y0 + fh, x0:x0 + fw] = img
+    return canvas
+
+
 def run_frameblend(argv):
     """frameblend flags (:522-568): -or <rate> output rate, -sqnr squelch,
     -fa <n> alternate-frame step, -ffa full-frame-alt, -gamma <x|vga|ntsc>."""
     from cvsim_tpu.models import restore
 
     args = _ToolArgs(argv, extra={
-        "or": (Fraction, "out_rate"),
+        "or": (_parse_rate, "out_rate"),
         "sqnr": ("flag", "sqnr"),
         "ffa": ("flag", "ffa"),
         "fa": (int, "fa"),
         "gamma": (_parse_gamma, "gamma"),
         "height": (int, "height_flag"),
+        "underscan": (int, "underscan"),
     })
     if "height_flag" in args.extra:
         args.height = args.extra["height_flag"]
@@ -585,8 +618,9 @@ def _run_frameblend_loop(args, reader, writer, out_rate, fps, framealt,
             if uf is None:
                 uf = np.full_like(yf, 128)
                 vf = uf
-            frames.append(np.asarray(
-                _scale_frame_to(yf, uf, vf, args.width, args.height)))
+            frames.append(np.asarray(_scale_underscan(
+                yf, uf, vf, args.width, args.height,
+                args.extra.get("underscan", 0))))
             frame_t.append(float(src_idx * out_rate / fps))
             src_idx += 1
         if not frames or (eof and frame_t and current > np.ceil(frame_t[-1])):
@@ -614,10 +648,12 @@ def run_filmac(argv):
         "gamma": (_parse_gamma, "gamma"),
         "height": (int, "height_flag"),
         "underscan": (int, "underscan"),
-        "or": (Fraction, "out_rate"),
+        "or": (_parse_rate, "out_rate"),
     })
     if "height_flag" in args.extra:
         args.height = args.extra["height_flag"]
+    if "out_rate" in args.extra:
+        args.field_rate = args.extra["out_rate"]
     gamma = args.extra.get("gamma", -1.0)
     gdec = genc = None
     if gamma > 1:
@@ -633,12 +669,20 @@ def run_filmac(argv):
 
 
 def run_vhsled(argv):
-    """vhsled: per-scanline left-edge de-jitter (no tool-specific flags)."""
+    """vhsled: per-scanline left-edge de-jitter. Flags
+    (ffmpeg_vhsled.cpp:476-567): -or <rate>, -underscan <pct>; -gamma is
+    parsed for parity but the reference's gamma tables have no callers in
+    this tool (dead flag), so it is accepted and ignored here too."""
     from cvsim_tpu.models import restore
 
-    args = _ToolArgs(argv, extra={"height": (int, "height_flag")})
+    args = _ToolArgs(argv, extra={"height": (int, "height_flag"),
+                                  "or": (_parse_rate, "out_rate"),
+                                  "underscan": (int, "underscan"),
+                                  "gamma": (_parse_gamma, "gamma")})
     if "height_flag" in args.extra:
         args.height = args.extra["height_flag"]
+    if "out_rate" in args.extra:
+        args.field_rate = args.extra["out_rate"]
     return _frame_loop(
         args, lambda frame, fieldno: tools_np.vhsled_dejitter(frame))
 

@@ -649,3 +649,35 @@ def test_wav_write_atomic(tmp_path):
     assert os.path.exists(p) and not os.path.exists(p + ".tmp")
     got, rate = wavio.read_wav(p)
     assert rate == 44100 and len(got) == 10
+
+
+def test_vhsled_underscan_and_or(tmp_path):
+    """The InputFile tools' -underscan renders the image at (100-u)% size
+    centered on black (ffmpeg_vhsled.cpp:307-331); -or overrides the
+    output rate ("n:d" form, :516-544); -gamma is accepted (dead flag in
+    the reference: its gamma tables have no callers in vhsled)."""
+    src = make_clip(str(tmp_path / "in.y4m"), frames=2)
+    out = str(tmp_path / "out.y4m")
+    rc = main(["vhsled", "-i", src, "-o", out, "-width", str(W),
+               "-underscan", "20", "-or", "30000:1001", "-gamma", "vga"])
+    assert rc == 0
+    hdr, frames = read_all(out)
+    assert hdr.fps == Fraction(30000, 1001)     # -or applied
+    y0 = frames[0][0]
+    h, w = y0.shape
+    # 10% top/bottom borders are black (RGB 0 -> studio Y 16); left/right
+    # are NOT asserted: the dejitter shifts lines left past the black
+    # margin underscan creates (that is the tool's function)
+    assert y0[: h // 10].max() <= 16 and y0[-(h // 10):].max() <= 16
+    assert y0[h // 2].max() > 50
+
+
+def test_frameblend_underscan(tmp_path):
+    src = make_clip(str(tmp_path / "in.y4m"), frames=4)
+    out = str(tmp_path / "out.y4m")
+    rc = main(["frameblend", "-i", src, "-o", out, "-width", str(W),
+               "-or", "30", "-underscan", "30"])
+    assert rc == 0
+    _, frames = read_all(out)
+    y0 = frames[0][0]
+    assert y0[: y0.shape[0] // 8].max() <= 16 and y0.max() > 50
