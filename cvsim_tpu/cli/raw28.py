@@ -24,6 +24,11 @@ def run(argv):
     i = 0
     while i < len(argv):
         a = argv[i].lstrip("-"); i += 1
+        if a in ("h", "help"):
+            print("flags: -i <raw|-> -o <out.y4m> -s <ntsc28|40mhz|hz> "
+                  "-width <n> -marksig -nosig -noequ -nowequ -nosc -showsc "
+                  "-color -sat <x> -422 -420 -inntsc", file=sys.stderr)
+            return 1
         if a == "i":
             inputs.append(argv[i]); i += 1
         elif a == "o":

@@ -45,6 +45,14 @@ class _ToolArgs:
             if not a.startswith("-"):
                 raise ValueError(f"Unhandled arg '{a}'")
             a = a.lstrip("-")
+            if a in ("h", "help"):
+                # every reference tool prints its flag list and exits
+                # nonzero on -h (e.g. ffmpeg_posterize.cpp help());
+                # main() prints this ValueError and returns 1
+                base = "-i <in> -o <out> -width <n> -d <n> -422 -420 " \
+                       "-tvstd <ntsc|pal|720p60|1080p60>"
+                more = " ".join(f"-{k}" for k in sorted(extra))
+                raise ValueError(f"flags: {base} {more}".rstrip())
             if a == "i":
                 cur = dict(cur)  # reference copies prior input's settings
                 cur["path"] = argv[i]; i += 1
@@ -441,6 +449,12 @@ def run_cassette(argv):
     i = 0
     while i < len(argv):
         a = argv[i].lstrip("-"); i += 1
+        if a in ("h", "help"):
+            print("flags: -i <in.wav> -o <out.wav> -preset <0..4> -mono "
+                  "-low <hz> -high <hz> -headalign <n> -headalignwaver <n> "
+                  "-audio-hiss <dB> -preemphasis <0|1> -deemphasis <0|1> "
+                  "-a <idx> -an -ss <s> -se <s> -t <s>", file=sys.stderr)
+            return 1
         if a == "i":
             in_path = argv[i]; i += 1
         elif a == "o":

@@ -351,7 +351,9 @@ def parse_composite_flags(argv: Sequence[str], gen2: bool = False) -> FlagState:
             import sys
 
             print(COMPOSITE_HELP, file=sys.stderr)
-            raise SystemExit(0)
+            # the reference's parse_argv returns 1 after help()
+            # (ffmpeg_to_composite.cpp:1327-1330) and main exits nonzero
+            raise SystemExit(1)
         elif a == "width":
             st.width = int(take())
             if st.width < 32:

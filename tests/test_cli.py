@@ -681,3 +681,21 @@ def test_frameblend_underscan(tmp_path):
     _, frames = read_all(out)
     y0 = frames[0][0]
     assert y0[: y0.shape[0] // 8].max() <= 16 and y0.max() > 50
+
+
+def test_every_tool_prints_help():
+    """Every reference tool prints a flag list and exits nonzero on -h
+    (parse_argv help() + return 1); ours match across the family."""
+    import contextlib
+
+    for tool in ("to-composite", "ntsc", "cassette", "posterize", "vhsled",
+                 "raw28ntsc", "normalize-ts", "colorkey", "colormap",
+                 "scanimate", "average-delay", "frameblend", "filmac"):
+        err, out = io.StringIO(), io.StringIO()
+        with contextlib.redirect_stderr(err), contextlib.redirect_stdout(out):
+            try:
+                rc = main([tool, "-h"])
+            except SystemExit as e:
+                rc = e.code
+        assert rc == 1, tool
+        assert len(err.getvalue() + out.getvalue()) > 60, tool
