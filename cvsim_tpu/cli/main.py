@@ -115,6 +115,16 @@ def _soft_sigint():
     return state
 
 
+def _cli_mesh(n_devices: int):
+    """-devices n: build the n-chip ('dp','sp') mesh, failing loud if the
+    backend shows fewer devices (parallel.make_mesh contract)."""
+    if not n_devices:
+        return None
+    from cvsim_tpu.parallel import make_mesh
+
+    return make_mesh(n_devices)
+
+
 def cmd_to_composite(argv):
     """Flagship gen-1 tool (ffmpeg_to_composite)."""
     st = presets.parse_composite_flags(argv, gen2=False)
@@ -143,7 +153,8 @@ def cmd_ntsc(argv):
 
     die = _soft_sigint()
     cfg = st.to_run_config(gen1=False)
-    pipe = YIQPipeline(cfg, frame_delay=st.frame_delay, die=die)
+    pipe = YIQPipeline(cfg, frame_delay=st.frame_delay, die=die,
+                       mesh=_cli_mesh(st.devices))
     will_encode_video = bool(st.input_files and st.video_stream_index >= 0
                              and st.output_file)
 
@@ -222,7 +233,7 @@ def _run_common(st, gen1: bool):
           file=sys.stderr)
     from cvsim_tpu.host import ffmpeg_pipe
 
-    pipe = CompositePipeline(cfg, die=die)
+    pipe = CompositePipeline(cfg, die=die, mesh=_cli_mesh(st.devices))
     fields = 0
     # -checkpoint: resumable runs (original extension; see host/checkpoint.py).
     # Only the native Y4M output path can be truncated-and-appended; encoder

@@ -100,9 +100,14 @@ class CompositePipeline:
     """Gen-1 flagship pipeline (ffmpeg_to_composite equivalent)."""
 
     def __init__(self, cfg: RunConfig, gop: int = 64, dtype=jnp.float32,
-                 progress: bool = True, die=None):
+                 progress: bool = True, die=None, mesh=None):
         self.cfg = cfg
         self.gop = gop
+        self.mesh = mesh
+        if mesh is not None and gop % mesh.devices.size:
+            raise ValueError(
+                f"mesh size {mesh.devices.size} must divide the GOP batch "
+                f"{gop}")
         self.die = die or {"die": 0}
         self.dtype = dtype
         self.progress = progress
@@ -137,8 +142,11 @@ class CompositePipeline:
         # process-wide second level: a resident daemon constructs a fresh
         # pipeline per command; identical (cfg, geometry) must reuse the
         # compiled (and server-side loaded) program, not re-compile
+        mesh_key = (None if self.mesh is None
+                    else tuple(d.id for d in self.mesh.devices.flat))
         prog = progcache.get_or_build(
-            ("gen1", self.cfg, self.gop, str(self.dtype)) + cache_key,
+            ("gen1", self.cfg, self.gop, str(self.dtype), mesh_key)
+            + cache_key,
             lambda: self._build_gop_program_uncached(
                 src_h, src_w, chroma_h, chroma_w, src_interlaced, src_tff))
         self._programs[cache_key] = prog
@@ -153,6 +161,7 @@ class CompositePipeline:
         bkey = cfg.black_key_level_feedback
         dtype = self.dtype
         gop = self.gop
+        mesh = self.mesh
         max_frames = gop // 2 + 2
         luma_consts = hscale_consts(src_w, out.width)
         chroma_consts = hscale_consts(chroma_w, out.width // 2)
@@ -209,8 +218,26 @@ class CompositePipeline:
                 (y, u, v), filter_planes = _bkey_scan(
                     y, u, v, *filter_planes, bkey, valid)
             if cfg.enable_composite_emulation:
-                y, u, v = yuv422.composite_video_process_auto(
-                    y, u, v, fieldno, parity, key, cfg=ccfg, dtype=dtype)
+                def chain(y_, u_, v_, fn_, pa_, k_):
+                    return yuv422.composite_video_process_auto(
+                        y_, u_, v_, fn_, pa_, k_, cfg=ccfg, dtype=dtype)
+
+                if mesh is not None:
+                    # -devices: the composite chain (the FLOPs) shards the
+                    # field batch over every chip via shard_map (GSPMD can't
+                    # partition a Pallas call — the run_sharded_chain_fused
+                    # seam, parallel/mesh.py:77). The render/black-key prolog
+                    # stays a plain jit region (black-key carries sequential
+                    # per-field state). Noise is content-addressed on
+                    # (seed, fieldno, stage), so shard outputs are
+                    # bit-identical to the single-device batch.
+                    from jax.sharding import PartitionSpec as P
+                    flat = P(("dp", "sp"))
+                    chain = jax.shard_map(
+                        chain, mesh=mesh,
+                        in_specs=(flat, flat, flat, flat, flat, P()),
+                        out_specs=(flat, flat, flat), check_vma=False)
+                y, u, v = chain(y, u, v, fieldno, parity, key)
             # one wire buffer out, split in halves so two D2H fetches can
             # ride the link concurrently
             packed = jnp.concatenate(

@@ -56,9 +56,15 @@ def _scale_frame_to(y, u, v, width: int, height: int):
 
 class YIQPipeline:
     def __init__(self, cfg: RunConfig, frame_delay: int = 1, gop: int = 64,
-                 die=None, dtype=jnp.float32, progress: bool = True):
+                 die=None, dtype=jnp.float32, progress: bool = True,
+                 mesh=None):
         self.cfg = cfg
         self.gop = gop
+        self.mesh = mesh
+        if mesh is not None and gop % mesh.devices.size:
+            raise ValueError(
+                f"mesh size {mesh.devices.size} must divide the GOP batch "
+                f"{gop}")
         self.die = die or {"die": 0}
         self.dtype = dtype
         self.progress = progress
@@ -69,6 +75,8 @@ class YIQPipeline:
 
         ccfg = cfg.composite
 
+        mesh = self.mesh
+
         def build():
             @jax.jit
             def process_batch(rgb_fields, fieldno, parity, key):
@@ -76,9 +84,25 @@ class YIQPipeline:
                 # link-bound e2e path); widen on device
                 rgb_fields = rgb_fields.astype(jnp.int32)
                 if cfg.enable_composite_emulation:
-                    return yiq.composite_layer_rgb_auto(
-                        rgb_fields, fieldno, parity, key, cfg=ccfg,
-                        dtype=dtype)
+                    def chain(r, fn_, pa, k):
+                        return yiq.composite_layer_rgb_auto(
+                            r, fn_, pa, k, cfg=ccfg, dtype=dtype)
+
+                    if mesh is not None:
+                        # -devices: fields shard over every chip via
+                        # shard_map (the run_sharded_chain_fused seam —
+                        # GSPMD can't partition a Pallas call, so each
+                        # device runs the whole fused chain on its local
+                        # block; content-addressed noise keys on fieldno,
+                        # so shard outputs are bit-identical to the
+                        # single-device batch, tests/test_parallel.py)
+                        from jax.sharding import PartitionSpec as P
+                        flat = P(("dp", "sp"))
+                        chain = jax.shard_map(
+                            chain, mesh=mesh,
+                            in_specs=(P(("dp", "sp")), flat, flat, P()),
+                            out_specs=P(("dp", "sp")), check_vma=False)
+                    return chain(rgb_fields, fieldno, parity, key)
                 return rgb_fields.astype(jnp.uint8)
 
             if os.environ.get("CVSIM_AOT", "1") == "1":
@@ -96,8 +120,10 @@ class YIQPipeline:
         # process-wide cache: a resident daemon builds a fresh pipeline per
         # command; identical (cfg, gop, dtype) must reuse the compiled
         # program instead of paying a fresh remote compile each invocation
+        mesh_key = (None if mesh is None
+                    else tuple(d.id for d in mesh.devices.flat))
         self._process_batch = progcache.get_or_build(
-            ("gen2", cfg, gop, str(dtype)), build)
+            ("gen2", cfg, gop, str(dtype), mesh_key), build)
         self._warm = False
 
     def _flush(self, batch, writer, final=False):

@@ -94,6 +94,7 @@ class FlagState:
     frame_delay: int = 1           # gen-2 -d ring length
     seed: int = 0
     checkpoint: bool = False       # original extension: resumable runs
+    devices: int = 0               # original extension: multi-chip mesh size
 
     # --- preset mutators (exact side-effect sets from the reference) -------
 
@@ -317,6 +318,8 @@ COMPOSITE_HELP = """\
 -seed <n>                    deterministic noise seed
 -checkpoint                  resumable run: save a <out>.ckpt cursor; rerun
                              the same command to continue after a crash
+-devices <n>                 shard each field batch over an n-device mesh
+                             (multi-chip; output bit-identical to 1 device)
 -a/-v <n>, -an/-vn           stream selection
 """
 
@@ -471,6 +474,8 @@ def parse_composite_flags(argv: Sequence[str], gen2: bool = False) -> FlagState:
             st.video_pts_in = take()
         elif a == "seed":
             st.seed = int(take())
+        elif a == "devices":
+            st.devices = int(take())
         elif a == "vhs-speed":
             st.preset_vhs_speed(take())
         elif a == "vhs-hifi":

@@ -106,3 +106,33 @@ def test_graft_entry_dryrun_subprocess():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_devices_flag_pipelines_bit_identical(tmp_path):
+    """-devices 8 (CLI multi-chip flag): both engine pipelines shard the
+    field batch over the mesh via the shard_map seam inside their GOP
+    program; output must be byte-identical to the single-device run."""
+    from test_cli import make_clip
+    from cvsim_tpu.cli.main import main
+
+    src = make_clip(str(tmp_path / "in.y4m"))
+    for tool in ("to-composite", "ntsc"):
+        a = str(tmp_path / f"{tool}-1.y4m")
+        b = str(tmp_path / f"{tool}-8.y4m")
+        args = [tool, "-i", src, "-width", "128", "-vhs", "-seed", "7"]
+        assert main(args + ["-o", a]) == 0
+        assert main(args + ["-o", b, "-devices", "8"]) == 0
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read(), tool
+
+
+def test_devices_flag_must_divide_gop():
+    import pytest
+
+    from cvsim_tpu.host.pipeline import CompositePipeline
+    from cvsim_tpu.presets import FlagState
+
+    st = FlagState()
+    cfg = st.to_run_config(gen1=True)
+    with pytest.raises(ValueError, match="must divide"):
+        CompositePipeline(cfg, gop=64, mesh=make_mesh(6))
