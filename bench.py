@@ -329,6 +329,35 @@ def e2e_fields_per_sec() -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def posterize_fields_per_sec() -> float:
+    """Sibling-tool e2e: the real `cvsim posterize` CLI on a 120-frame 480i
+    clip, wall-clock. Host-numpy cost class — never touches the device
+    (reference ffmpeg_posterize.cpp:789-813 runs at decode speed; round 2
+    measured 3m45s here on per-field device dispatch, round 3 moved the
+    trivial pixel tools to host-numpy twins)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="cvsim_bench_post_")
+    try:
+        clip = os.path.join(tmp, "in120.y4m")
+        out = os.path.join(tmp, "out120.y4m")
+        _write_clip(clip, 120)
+        cmd = [sys.executable, "-m", "cvsim_tpu", "posterize",
+               "-i", clip, "-o", out, "-threshhold", "3"]
+        t0 = time.time()
+        subprocess.run(cmd, check=True, cwd=REPO,
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL, timeout=300)
+        wall = time.time() - t0
+        fps = 240 / wall
+        print(f"[bench] posterize e2e: 120 frames (240 fields) in "
+              f"{wall:.1f}s = {fps:.1f} fields/s", file=sys.stderr)
+        return fps
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def e2e_daemon_fields_per_sec() -> float:
     """Throughput of the 300-frame clip through a WARM `cvsim serve`
     daemon — the product answer to the per-process program-load stall:
@@ -442,6 +471,13 @@ def main():
         if "audio_rt" in dev:
             result["audio_realtime_x"] = round(dev["audio_rt"], 1)
     if mode in ("both", "--e2e"):
+        # sibling-tool row first: host-only, immune to tunnel weather
+        try:
+            result["posterize_e2e_fields_per_sec"] = round(
+                posterize_fields_per_sec(), 1)
+        except Exception as e:
+            print(f"[bench] posterize row failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
         # the e2e rows ride the shared TPU tunnel, which has hour-scale
         # congestion episodes (transfers drop to ~0.1 MB/s); never let a
         # stalled CLI run leave the driver without the JSON line
