@@ -34,6 +34,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 W, LINES = 704, 240          # 480i field
 BATCH = 256                  # fields per device call (~4.3s of video)
 REPS = 5
+_TIMES: dict = {}            # compile_s / first_run_s from the device section
 
 
 def baseline_fields_per_sec() -> float:
@@ -139,14 +140,17 @@ def tpu_fields_per_sec() -> float:
     # compile" was mostly that stall, not compile.
     t0 = time.time()
     compiled = chain_sum.lower(rgb, fieldno, parity, keys[0]).compile()
-    print(f"[bench] compile: {time.time()-t0:.1f}s", file=sys.stderr)
+    _TIMES["compile_s"] = round(time.time() - t0, 1)
+    print(f"[bench] compile: {_TIMES['compile_s']}s", file=sys.stderr)
 
     def run_one(k):
         return compiled(rgb, fieldno, parity, keys[k])
 
     t0 = time.time()
     int(run_one(0))
-    print(f"[bench] first run+fetch: {time.time()-t0:.1f}s", file=sys.stderr)
+    _TIMES["first_run_s"] = round(time.time() - t0, 1)
+    print(f"[bench] first run+fetch: {_TIMES['first_run_s']}s",
+          file=sys.stderr)
 
     # sustained throughput: K batches dispatched back-to-back (async) so the
     # per-call RPC latency pipelines away, as in the streaming pipelines
@@ -430,6 +434,7 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     if mode == "--device-inner":
         out = {"tpu_fps": tpu_fields_per_sec()}
+        out.update(_TIMES)
         try:
             out["hd_fps"] = hd1080i_fields_per_sec()
         except Exception as e:
@@ -470,6 +475,9 @@ def main():
             result["hd1080i_fields_per_sec"] = round(dev["hd_fps"], 1)
         if "audio_rt" in dev:
             result["audio_realtime_x"] = round(dev["audio_rt"], 1)
+        for k in ("compile_s", "first_run_s"):
+            if k in dev:
+                result[k] = dev[k]
     if mode in ("both", "--e2e"):
         # sibling-tool row first: host-only, immune to tunnel weather
         try:
