@@ -415,6 +415,24 @@ def e2e_daemon_fields_per_sec() -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_mb_per_sec() -> float:
+    """Tunnel health probe: 4KB handshake roundtrip, then a timed 4MB
+    roundtrip. Healthy tunnel: tens of MB/s. Congestion episodes run at
+    ~0.1-0.2 MB/s in every process and a hard outage never returns — the
+    caller watchdogs this and skips the long device/e2e sections rather
+    than burning their full timeouts against a dead link."""
+    import numpy as np
+    import jax
+
+    np.asarray(jax.device_put(np.zeros(4096, np.uint8)))   # handshake
+    x = np.zeros(4 << 20, np.uint8)
+    t0 = time.time()
+    h = np.asarray(jax.device_put(x))
+    dt = time.time() - t0
+    del h
+    return 2 * x.nbytes / 1e6 / dt
+
+
 def _run_inner(flag: str, timeout_s: int) -> dict:
     """Run `bench.py <flag>` as a watchdogged subprocess and parse its one
     JSON stdout line. The device/link sections talk to the (possibly
@@ -450,13 +468,35 @@ def main():
     if mode == "--link-inner":
         print(json.dumps({"link_mb_per_sec": link_mb_per_sec()}))
         return
+    if mode == "--probe-inner":
+        print(json.dumps({"rt_mb_per_sec": probe_mb_per_sec()}))
+        return
     result = {
         "metric": "480i_fields_per_sec_full_vhs_ep_chain_1chip",
         "unit": "fields/s",
     }
     base_fps = baseline_fields_per_sec()
+    # Tunnel health gate: during hard outages / congestion episodes even a
+    # 4KB transfer hangs or crawls; without this gate a dead link costs the
+    # full device+e2e watchdog budget (~80 min) before the artifact appears.
+    outage = None
+    if mode in ("both", "--device", "--e2e"):
+        try:
+            rate = _run_inner("--probe-inner", 300)["rt_mb_per_sec"]
+            result["tunnel_probe_mb_per_sec"] = round(rate, 2)
+            print(f"[bench] tunnel probe: {rate:.1f} MB/s", file=sys.stderr)
+            if rate < 1.5:
+                outage = f"congested_{rate:.2f}MBps"
+        except Exception as e:
+            outage = f"unreachable_{type(e).__name__}"
+        if outage:
+            result["tunnel_outage"] = outage
+            print(f"[bench] tunnel {outage}: skipping device/e2e device "
+                  "sections, recording degraded artifact", file=sys.stderr)
     if mode in ("both", "--device"):
         try:
+            if outage:
+                raise RuntimeError(f"tunnel {outage}")
             dev = _run_inner("--device-inner", 2400)
         except Exception as e:
             print(f"[bench] device section failed/hung "
@@ -490,6 +530,8 @@ def main():
         # congestion episodes (transfers drop to ~0.1 MB/s); never let a
         # stalled CLI run leave the driver without the JSON line
         try:
+            if outage:
+                raise RuntimeError(f"tunnel {outage}")
             _run_e2e(result, base_fps)
         except Exception as e:
             print(f"[bench] e2e section failed ({type(e).__name__}: {e}); "
