@@ -95,3 +95,34 @@ def test_via_reports_unknown_command(tmp_path):
     rc = main(["-via", sock, "definitely-not-a-command"])
     assert rc == 1
     t.join(timeout=30)
+
+
+def test_serve_devices_flag(tmp_path):
+    """-devices through the daemon: the served engine run shards over the
+    8-device CPU mesh and matches the direct single-device run byte-wise
+    (the program-cache key carries the mesh, so a daemon serving both
+    flavors must not cross the compiled programs)."""
+    sock = str(tmp_path / "cvsim.sock")
+    src = make_clip(str(tmp_path / "in.y4m"))
+    out_direct = str(tmp_path / "direct.y4m")
+    out_served = str(tmp_path / "served.y4m")
+
+    t = threading.Thread(
+        target=serve.run_serve,
+        args=(["-socket", sock, "-one-shot"],), daemon=True)
+    t.start()
+    for _ in range(200):
+        if os.path.exists(sock):
+            break
+        threading.Event().wait(0.05)
+    assert os.path.exists(sock)
+
+    argv = ["ntsc", "-i", src, "-width", "128", "-seed", "3"]
+    rc = main(["-via", sock] + argv + ["-o", out_served, "-devices", "8"])
+    assert rc == 0
+    t.join(timeout=60)
+
+    rc = main(argv + ["-o", out_direct])
+    assert rc == 0
+    with open(out_served, "rb") as fa, open(out_direct, "rb") as fb:
+        assert fa.read() == fb.read()
