@@ -96,6 +96,50 @@ def hd1080i_fields_per_sec() -> float:
     return fps
 
 
+def gen1_fields_per_sec() -> float:
+    """Gen-1 (ffmpeg_to_composite, the flagship tool) full VHS-EP chain at
+    480i on device: 4:2:2 Y/U/V planes through composite_video_process
+    (fused two-kernel Pallas path on TPU), B=256, AOT + forced fetch."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cvsim_tpu.config import CompositeConfig, VHSSpeed
+    from cvsim_tpu.models import yuv422
+
+    cfg = CompositeConfig(
+        emulating_vhs=True, vhs_tape_speed=VHSSpeed.EP,
+        vhs_head_switching=True, video_noise=6, video_chroma_noise=22,
+        video_chroma_phase_noise=6, video_chroma_loss=8)
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.integers(16, 236, (BATCH, LINES, W)), jnp.int32)
+    u = jnp.asarray(rng.integers(16, 241, (BATCH, LINES, W // 2)), jnp.int32)
+    v = jnp.asarray(rng.integers(16, 241, (BATCH, LINES, W // 2)), jnp.int32)
+    fieldno = jnp.arange(BATCH, dtype=jnp.int32)
+    par = fieldno & 1
+    keys = jax.random.split(jax.random.PRNGKey(4), 16)
+
+    @jax.jit
+    def run(y, u, v, fno, par, k):
+        yo, uo, vo = yuv422.composite_video_process_auto(
+            y, u, v, fno, par, k, cfg=cfg)
+        return (yo.astype(jnp.int32).sum() + uo.astype(jnp.int32).sum()
+                + vo.astype(jnp.int32).sum())
+
+    c = run.lower(y, u, v, fieldno, par, keys[0]).compile()
+    int(c(y, u, v, fieldno, par, keys[0]))
+    K = 8
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        sums = [c(y, u, v, fieldno, par, keys[k % 16]) for k in range(K)]
+        _ = [int(s) for s in sums]
+        best = min(best, time.time() - t0)
+    fps = K * BATCH / best
+    print(f"[bench] gen-1 480i fused: {fps:.0f} fields/s", file=sys.stderr)
+    return fps
+
+
 def tpu_fields_per_sec() -> float:
     import numpy as np
     import jax
@@ -463,6 +507,11 @@ def main():
         except Exception as e:
             print(f"[bench] audio row failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
+        try:
+            out["gen1_fps"] = gen1_fields_per_sec()
+        except Exception as e:
+            print(f"[bench] gen-1 row failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
         print(json.dumps(out))
         return
     if mode == "--link-inner":
@@ -515,6 +564,8 @@ def main():
             result["hd1080i_fields_per_sec"] = round(dev["hd_fps"], 1)
         if "audio_rt" in dev:
             result["audio_realtime_x"] = round(dev["audio_rt"], 1)
+        if "gen1_fps" in dev:
+            result["gen1_480i_fields_per_sec"] = round(dev["gen1_fps"], 1)
         for k in ("compile_s", "first_run_s"):
             if k in dev:
                 result[k] = dev[k]
