@@ -116,10 +116,17 @@ def test_devices_flag_pipelines_bit_identical(tmp_path):
     from cvsim_tpu.cli.main import main
 
     src = make_clip(str(tmp_path / "in.y4m"))
-    for tool in ("to-composite", "ntsc"):
+    for tool, extra in (
+            # -bkey-feedback: the gen-1 black-key scan carries sequential
+            # per-field state through the plain-jit prolog while the chain
+            # itself is mesh-sharded — the seam must still be exact
+            ("to-composite", ["-bkey-feedback", "20"]),
+            ("ntsc", []),
+    ):
         a = str(tmp_path / f"{tool}-1.y4m")
         b = str(tmp_path / f"{tool}-8.y4m")
-        args = [tool, "-i", src, "-width", "128", "-vhs", "-seed", "7"]
+        args = ([tool, "-i", src, "-width", "128", "-vhs", "-seed", "7"]
+                + extra)
         assert main(args + ["-o", a]) == 0
         assert main(args + ["-o", b, "-devices", "8"]) == 0
         with open(a, "rb") as fa, open(b, "rb") as fb:
