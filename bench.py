@@ -96,6 +96,44 @@ def hd1080i_fields_per_sec() -> float:
     return fps
 
 
+def composite_fields_per_sec() -> float:
+    """BASELINE.md golden config 1: plain composite emulation (QAM
+    encode/decode + in/out chroma lowpass, no VHS, no noise) at 480i,
+    gen-2 chain, B=256, AOT + forced fetch."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cvsim_tpu.config import CompositeConfig
+    from cvsim_tpu.models import yiq
+
+    cfg = CompositeConfig()
+    rng = np.random.default_rng(5)
+    rgb = jnp.asarray(rng.integers(0, 256, size=(BATCH, LINES, W, 3)),
+                      jnp.int32)
+    fieldno = jnp.arange(BATCH, dtype=jnp.int32)
+    par = fieldno & 1
+    key = jax.random.PRNGKey(6)
+
+    @jax.jit
+    def run(rgb, fno, par, k):
+        out = yiq.composite_layer_rgb_auto(rgb, fno, par, k, cfg=cfg)
+        return out.astype(jnp.int32).sum()
+
+    c = run.lower(rgb, fieldno, par, key).compile()
+    int(c(rgb, fieldno, par, key))
+    K = 8
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        sums = [c(rgb, fieldno + j, par, key) for j in range(K)]
+        _ = [int(s) for s in sums]
+        best = min(best, time.time() - t0)
+    fps = K * BATCH / best
+    print(f"[bench] composite-only 480i: {fps:.0f} fields/s", file=sys.stderr)
+    return fps
+
+
 def gen1_fields_per_sec() -> float:
     """Gen-1 (ffmpeg_to_composite, the flagship tool) full VHS-EP chain at
     480i on device: 4:2:2 Y/U/V planes through composite_video_process
@@ -512,6 +550,11 @@ def main():
         except Exception as e:
             print(f"[bench] gen-1 row failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
+        try:
+            out["composite_fps"] = composite_fields_per_sec()
+        except Exception as e:
+            print(f"[bench] composite row failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
         print(json.dumps(out))
         return
     if mode == "--link-inner":
@@ -566,6 +609,9 @@ def main():
             result["audio_realtime_x"] = round(dev["audio_rt"], 1)
         if "gen1_fps" in dev:
             result["gen1_480i_fields_per_sec"] = round(dev["gen1_fps"], 1)
+        if "composite_fps" in dev:
+            result["composite_480i_fields_per_sec"] = round(
+                dev["composite_fps"], 1)
         for k in ("compile_s", "first_run_s"):
             if k in dev:
                 result[k] = dev[k]
