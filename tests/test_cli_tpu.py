@@ -52,3 +52,30 @@ def test_cli_fused_equals_xla_on_hardware(tmp_path):
         outs[tag] = open(out, "rb").read()
     assert outs["fused"] == outs["xla"]
     assert len(read_all(str(tmp_path / "fused.y4m"))[1]) == 8
+
+
+@pytest.mark.skipif("CVSIM_TPU_TESTS" not in os.environ,
+                    reason="set CVSIM_TPU_TESTS=1 on a TPU host")
+def test_cli_devices_flag_on_hardware(tmp_path):
+    """-devices 1 on the real chip: the shard_map-wrapped fused chain inside
+    the GOP program (the multi-chip deployment seam) must byte-equal the
+    plain single-device dispatch. CPU CI proves the seam on an 8-device
+    virtual mesh where the per-shard dispatch falls back to XLA; only this
+    run exercises shard_map AROUND a Pallas call on hardware."""
+    if not _tpu_available():
+        pytest.skip("no TPU backend available")
+    src = make_clip(str(tmp_path / "in.y4m"))
+    outs = {}
+    for tag, extra in (("plain", []), ("mesh1", ["-devices", "1"])):
+        out = str(tmp_path / f"{tag}.y4m")
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        r = subprocess.run(
+            [sys.executable, "-m", "cvsim_tpu", "to-composite",
+             "-i", src, "-o", out, "-width", str(W),
+             "-vhs", "-seed", "5"] + extra,
+            env=env, capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = open(out, "rb").read()
+    assert outs["plain"] == outs["mesh1"]
