@@ -211,6 +211,41 @@ def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
     return 0
 
 
+def _frame_loop_1to1(args: _ToolArgs, per_frame):
+    """One output frame per decoded input frame — the restore tools' loop
+    shape (ffmpeg_vhsled.cpp:851-861, filmac.cpp:842-851: a frame is
+    processed and encoded only when next_packet() decodes one; the output
+    field rate only sets the pts *units* via video_frame_rgb_to_output_f,
+    it never duplicates frames). The output stream therefore carries the
+    input cadence: header fps is the input rate; -or is accepted for flag
+    parity but has no observable effect on a CFR output."""
+    (reader,), (in_cleanup,) = _open_video_inputs(args.inputs[:1])
+    try:
+        out_hdr = y4m.Y4MHeader(
+            width=args.width, height=args.height, fps=reader.header.fps,
+            interlacing="p", aspect="4:3",
+            colorspace="422" if args.use_422 else "420jpeg")
+        out_stream, out_finalize = _open_video_output(args.output)
+        writer = y4m.Y4MWriter(out_stream, out_hdr)
+        with _finalizing(out_finalize):
+            n = 0
+            for yf, uf, vf in reader:
+                if uf is None:
+                    uf = np.full_like(yf, 128)
+                    vf = uf
+                frame = _scale_underscan(
+                    yf, uf, vf, args.width, args.height,
+                    args.extra.get("underscan", 0))
+                _write_rgb(writer, np.asarray(per_frame(frame, n)),
+                           args.use_422)
+                print(f"\x0dOutput frame {n} ", end="", file=sys.stderr)
+                n += 1
+            print("", file=sys.stderr)
+    finally:
+        in_cleanup()
+    return 0
+
+
 def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
                         multi: bool = False):
     """Like _frame_loop, but fields are collected into batches of up to
@@ -674,21 +709,24 @@ def run_filmac(argv):
         gdec, genc = restore.gamma_tables(gamma)
     state = restore.FilmacState()
 
-    def per_field(frame, fieldno):
+    def per_frame(frame, n):
+        # 1:1 with input frames (filmac.cpp:842-851) — the temporal level
+        # IIR (:927-942) must advance once per decoded frame, not once per
+        # output field, or AGC converges at double speed
         minv, maxv, scaleto = tools_np.filmac_measure(frame, gdec)
         restore.filmac_update_levels(state, minv, maxv)
         return tools_np.filmac_rescale(frame, state, scaleto, gdec, genc)
 
-    return _frame_loop(args, per_field)
+    return _frame_loop_1to1(args, per_frame)
 
 
 def run_vhsled(argv):
-    """vhsled: per-scanline left-edge de-jitter. Flags
-    (ffmpeg_vhsled.cpp:476-567): -or <rate>, -underscan <pct>; -gamma is
-    parsed for parity but the reference's gamma tables have no callers in
-    this tool (dead flag), so it is accepted and ignored here too."""
-    from cvsim_tpu.models import restore
-
+    """vhsled: per-scanline left-edge de-jitter, one output frame per
+    input frame (ffmpeg_vhsled.cpp:851-861). Flags (:476-567): -or <rate>
+    (pts units only in the reference — no cadence effect), -underscan
+    <pct>; -gamma is parsed for parity but the reference's gamma tables
+    have no callers in this tool (dead flag), so it is accepted and
+    ignored here too."""
     args = _ToolArgs(argv, extra={"height": (int, "height_flag"),
                                   "or": (_parse_rate, "out_rate"),
                                   "underscan": (int, "underscan"),
@@ -697,8 +735,8 @@ def run_vhsled(argv):
         args.height = args.extra["height_flag"]
     if "out_rate" in args.extra:
         args.field_rate = args.extra["out_rate"]
-    return _frame_loop(
-        args, lambda frame, fieldno: tools_np.vhsled_dejitter(frame))
+    return _frame_loop_1to1(
+        args, lambda frame, n: tools_np.vhsled_dejitter(frame))
 
 
 def run_raw28ntsc(argv):

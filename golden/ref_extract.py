@@ -821,6 +821,46 @@ def filmac_exe() -> str:
     return _build("ref_filmac", _compose_filmac())
 
 
+# --------------------------------------------------------------- whole binary
+# The three modern-API reference tools (Makefile.am:5-8) compile UNMODIFIED
+# against this host's FFmpeg 5.x dev libraries (they use the send/receive
+# API, ffmpeg_vhsled.cpp:599-606). Building the actual binaries — not stage
+# excerpts — enables container-in/container-out golden A/B runs
+# (tests/test_ref_binary_e2e.py) and real reference-binary baseline timings.
+
+_BINARY_TOOLS = ("ffmpeg_vhsled", "frameblend", "filmac")
+
+
+def ffmpeg_libs_available() -> bool:
+    """True when the FFmpeg dev libraries the reference links are present."""
+    if shutil.which("pkg-config") is None or shutil.which("g++") is None:
+        return False
+    r = subprocess.run(
+        ["pkg-config", "--exists", "libavcodec", "libavformat", "libavutil",
+         "libswscale", "libswresample"], capture_output=True)
+    return r.returncode == 0
+
+
+def binary_exe(tool: str) -> str:
+    """Build the unmodified reference tool binary from REF_DIR, cached by
+    source digest like the stage excerpts."""
+    assert tool in _BINARY_TOOLS, tool
+    src_path = os.path.join(REF_DIR, f"{tool}.cpp")
+    source = open(src_path).read()
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    digest = hashlib.sha256(source.encode()).hexdigest()[:16]
+    exe = os.path.join(_CACHE_DIR, f"bin_{tool}_{digest}")
+    if not os.path.exists(exe):
+        flags = subprocess.run(
+            ["pkg-config", "--cflags", "--libs", "libavcodec", "libavformat",
+             "libavutil", "libswscale", "libswresample"],
+            check=True, capture_output=True, text=True).stdout.split()
+        subprocess.run(
+            ["g++", "-O2", "-w", "-o", exe, src_path] + flags + ["-lm"],
+            check=True, capture_output=True, text=True)
+    return exe
+
+
 _SCANIMATE_STUB = r"""
 #include <cassert>
 struct InputFile { int dummy; };

@@ -199,7 +199,9 @@ def test_filmac(tmp_path):
                "-gamma", "vga"])
     assert rc == 0
     _, frames = read_all(out)
-    assert len(frames) == 8
+    # one output frame per input frame (filmac.cpp:842-851) — the
+    # reference never duplicates frames to the field rate
+    assert len(frames) == 4
     # AGC should stretch contrast: output luma range wider than input's
     y = frames[-1][0].astype(int)
     assert y.max() - y.min() >= 150
@@ -225,7 +227,7 @@ def test_vhsled(tmp_path):
     rc = main(["vhsled", "-i", src, "-o", out, "-width", str(W)])
     assert rc == 0
     _, frames = read_all(out)
-    assert len(frames) >= 2
+    assert len(frames) == 2     # 1:1 with input (ffmpeg_vhsled.cpp:851-861)
     # after de-jitter the bright edge should be aligned across rows
     y = frames[0][0].astype(int)
     edges = np.argmax(y > 100, axis=1)
@@ -653,16 +655,20 @@ def test_wav_write_atomic(tmp_path):
 
 def test_vhsled_underscan_and_or(tmp_path):
     """The InputFile tools' -underscan renders the image at (100-u)% size
-    centered on black (ffmpeg_vhsled.cpp:307-331); -or overrides the
-    output rate ("n:d" form, :516-544); -gamma is accepted (dead flag in
-    the reference: its gamma tables have no callers in vhsled)."""
+    centered on black (ffmpeg_vhsled.cpp:307-331); -or ("n:d" form,
+    :516-544) only changes the reference's pts *units*, never the frame
+    cadence (one output frame per input frame, :851-861) — so the output
+    keeps the input rate even with -or 60000:1001; -gamma is accepted
+    (dead flag in the reference: its gamma tables have no callers in
+    vhsled)."""
     src = make_clip(str(tmp_path / "in.y4m"), frames=2)
     out = str(tmp_path / "out.y4m")
     rc = main(["vhsled", "-i", src, "-o", out, "-width", str(W),
-               "-underscan", "20", "-or", "30000:1001", "-gamma", "vga"])
+               "-underscan", "20", "-or", "60000:1001", "-gamma", "vga"])
     assert rc == 0
     hdr, frames = read_all(out)
-    assert hdr.fps == Fraction(30000, 1001)     # -or applied
+    assert hdr.fps == Fraction(30000, 1001)     # input cadence preserved
+    assert len(frames) == 2
     y0 = frames[0][0]
     h, w = y0.shape
     # 10% top/bottom borders are black (RGB 0 -> studio Y 16); left/right
