@@ -13,15 +13,22 @@ import sys
 from fractions import Fraction
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from cvsim_tpu.host import timing, wavio, y4m
-from cvsim_tpu.host.pipeline_yiq import _scale_frame_to
-from cvsim_tpu.host.colorconv import rgb_to_yuv601_np
-from cvsim_tpu.models import tools as ops
+from cvsim_tpu.host.colorconv import (
+    rgb_to_yuv601_np,
+    scale_frame_to_np as _scale_frame_to,
+)
 from cvsim_tpu.models import tools_np
 from cvsim_tpu.ops import noise_np
+
+# jax (and the device ops module) import lazily inside the tools that use
+# the device — scanimate, colormap's LUT build, cassette. The host-numpy
+# tools (posterize/colorkey/average-delay/vhsled/frameblend/filmac/
+# normalize-ts) never import jax: they are one-shot CLI processes at the
+# reference's I/O-bound cost class, and the jax import is ~2 s of their
+# wall time (VERDICT r3 #6). tests/test_cli.py pins this with a poisoned
+# import finder.
 
 
 class _ToolArgs:
@@ -310,7 +317,7 @@ def run_colormap(argv):
         mu = np.full_like(my, 128)
         mv = mu
     map_rgb = np.asarray(_scale_frame_to(my, mu, mv, args.width, args.height))
-    lut = ops.take_colormap(map_rgb)
+    lut = tools_np.take_colormap(map_rgb)
     args.inputs = args.inputs[1:]
     return _frame_loop(args, lambda frames, fieldno: tools_np.colormap_apply(
         _last_frame(frames), lut), multi=True)
@@ -402,6 +409,11 @@ def run_scanimate(argv, batch: int = 16):
 
     from functools import partial
 
+    import jax
+    import jax.numpy as jnp
+
+    from cvsim_tpu.models import tools as ops
+
     @partial(jax.jit, static_argnums=(2,))
     def fnb_jit(frames, fieldnos, fld):
         def one(f, fno):
@@ -474,6 +486,9 @@ def run_cassette(argv):
     """ffmpeg_cassette flags (:420-560): -low -high -headalign
     -headalignwaver -mono -preset 0..4 -audio-hiss -preemphasis -deemphasis.
     Audio-only: -i in.wav -o out.wav."""
+    import jax
+    import jax.numpy as jnp
+
     from cvsim_tpu.audio.cassette import (
         CASSETTE_PRESETS, CassetteConfig, cassette_audio_process,
         init_cassette_state)

@@ -8,8 +8,11 @@ colorspace the reference tags its frames with, :2187-2188).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
+
+# jax imports live inside the device functions: the host-numpy twins below
+# serve the sibling tools' one-shot CLI processes, which must not pay the
+# jax import (VERDICT r3 #6)
 
 
 def hscale_bilinear(plane, dst_w: int):
@@ -18,6 +21,8 @@ def hscale_bilinear(plane, dst_w: int):
     constants are shared with the batched GOP program
     (batching.hscale_consts) so the two paths stay bit-identical by
     construction."""
+    import jax.numpy as jnp
+
     from cvsim_tpu.host.batching import hscale_consts
 
     src_w = plane.shape[-1]
@@ -35,6 +40,8 @@ def hscale_bilinear(plane, dst_w: int):
 def yuv_to_rgb601(y, u, v):
     """Studio-range BT.601 YCbCr -> full-range RGB (uint8 domain int32 in/out).
     u, v are at the same spatial resolution as y (replicate before calling)."""
+    import jax.numpy as jnp
+
     yf = (jnp.asarray(y, jnp.float32) - 16.0) * (255.0 / 219.0)
     uf = jnp.asarray(u, jnp.float32) - 128.0
     vf = jnp.asarray(v, jnp.float32) - 128.0
@@ -47,6 +54,8 @@ def yuv_to_rgb601(y, u, v):
 
 def rgb_to_yuv601(r, g, b):
     """Full-range RGB -> studio-range BT.601 YCbCr (int32 uint8-domain)."""
+    import jax.numpy as jnp
+
     rf = jnp.asarray(r, jnp.float32)
     gf = jnp.asarray(g, jnp.float32)
     bf = jnp.asarray(b, jnp.float32)
@@ -100,3 +109,27 @@ def hscale_bilinear_np(plane, dst_w: int):
     s0 = p[..., x0]
     s1 = p[..., x1]
     return np.round(s0 + (s1 - s0) * f).astype(np.int32)
+
+
+def scale_frame_to_np(y, u, v, width: int, height: int):
+    """Scale a Y4M frame (possibly 4:2:0) to a full-res RGB [H, W, 3] frame
+    (the frame_copy_scale role, ffmpeg_ntsc.cpp:544-607). Pure numpy: this
+    runs per decoded frame on the host thread, where every eager device
+    call costs a ~25 ms RPC on tunneled hosts (round-1 e2e mistake)."""
+    # chroma up to luma resolution
+    yh, yw = y.shape
+    u = np.repeat(np.repeat(u, yh // u.shape[0], axis=0),
+                  yw // u.shape[1], axis=1)
+    v = np.repeat(np.repeat(v, yh // v.shape[0], axis=0),
+                  yw // v.shape[1], axis=1)
+    r, g, b = yuv_to_rgb601_np(np.asarray(y, np.int32),
+                               np.asarray(u, np.int32),
+                               np.asarray(v, np.int32))
+    rgb = np.stack([r, g, b], axis=-1)
+    # horizontal, then vertical via the transposed frame
+    rgb = np.moveaxis(hscale_bilinear_np(np.moveaxis(rgb, -1, 0), width),
+                      0, -1)
+    rgbt = np.swapaxes(rgb, 0, 1)
+    rgbt = np.moveaxis(hscale_bilinear_np(np.moveaxis(rgbt, -1, 0), height),
+                       0, -1)
+    return np.swapaxes(rgbt, 0, 1)  # [H, W, 3]

@@ -14,7 +14,9 @@ jit (row gathers over the tiny line axis only).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+
+# jax import is lazy (inside the device functions): batching.py pulls
+# render_field_indices from here on the jax-free sibling-tool CLI path
 
 
 def _field_rows(dst_height: int, parity: int) -> np.ndarray:
@@ -97,6 +99,8 @@ def render_field_indices(
 def _interp_rows(plane, i1, i2, frac):
     """d = s1 + ((s2 - s1) * frac >> 8), exactly as the reference's 8-bit
     interpolation (:1098-1099)."""
+    import jax.numpy as jnp
+
     p = jnp.asarray(plane, jnp.int32)
     s1 = jnp.take(p, jnp.asarray(i1), axis=0)
     s2 = jnp.take(p, jnp.asarray(i2), axis=0)
@@ -151,6 +155,8 @@ def pack_bob_420(y_422, u_422, v_422, parity: int):
     """Full-rate progressive bob output in 4:2:0 (the reference default,
     :1198-1235): duplicate the active field's rows, then take every other
     chroma row."""
+    import jax.numpy as jnp
+
     h = y_422.shape[0]
     rows = bob_rows(h, parity)
     y = jnp.take(jnp.asarray(y_422), jnp.asarray(rows), axis=0)
@@ -162,6 +168,8 @@ def pack_bob_420(y_422, u_422, v_422, parity: int):
 def pack_interlaced_420(y_422, u_422, v_422):
     """Interlaced 4:2:0 output (-vi, :1215-1224): chroma rows interleave the
     two fields' chroma: cy = (y&1) + ((y&~3)>>1) for rows with (y&2)==0."""
+    import jax.numpy as jnp
+
     h = y_422.shape[0]
     ys = np.arange(0, h, 1)
     sel = ys[(ys & 2) == 0]
@@ -175,6 +183,8 @@ def pack_interlaced_420(y_422, u_422, v_422):
 
 def interleave_fields(top, bottom):
     """[L, W] x 2 -> [2L, W] frame (top rows at even indices)."""
+    import jax.numpy as jnp
+
     l, w = top.shape[-2:]
     out = jnp.empty(top.shape[:-2] + (2 * l, w), top.dtype)
     out = out.at[..., 0::2, :].set(top)

@@ -29,29 +29,15 @@ from cvsim_tpu.host import progcache, timing, y4m
 from cvsim_tpu.host.colorconv import (
     hscale_bilinear_np,
     rgb_to_yuv601_np,
+    scale_frame_to_np,
     yuv_to_rgb601_np,
 )
 from cvsim_tpu.models import yiq
 
 
-def _scale_frame_to(y, u, v, width: int, height: int):
-    """Scale a Y4M frame (possibly 4:2:0) to a full-res RGB [H, W, 3] frame
-    (the frame_copy_scale role, ffmpeg_ntsc.cpp:544-607). Pure numpy: this
-    runs per decoded frame on the host thread, where every eager device
-    call costs a ~25 ms RPC on tunneled hosts (round-1 e2e mistake)."""
-    # chroma up to luma resolution
-    yh, yw = y.shape
-    u = np.repeat(np.repeat(u, yh // u.shape[0], axis=0), yw // u.shape[1], axis=1)
-    v = np.repeat(np.repeat(v, yh // v.shape[0], axis=0), yw // v.shape[1], axis=1)
-    r, g, b = yuv_to_rgb601_np(np.asarray(y, np.int32),
-                               np.asarray(u, np.int32),
-                               np.asarray(v, np.int32))
-    rgb = np.stack([r, g, b], axis=-1)
-    # horizontal, then vertical via the transposed frame
-    rgb = np.moveaxis(hscale_bilinear_np(np.moveaxis(rgb, -1, 0), width), 0, -1)
-    rgbt = np.swapaxes(rgb, 0, 1)
-    rgbt = np.moveaxis(hscale_bilinear_np(np.moveaxis(rgbt, -1, 0), height), 0, -1)
-    return np.swapaxes(rgbt, 0, 1)  # [H, W, 3]
+# moved to colorconv.scale_frame_to_np so the jax-free sibling tools can
+# use it without importing this (jax-heavy) module; alias kept for callers
+_scale_frame_to = scale_frame_to_np
 
 
 class YIQPipeline:

@@ -18,9 +18,10 @@
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
-from cvsim_tpu.ops.roll import roll_rows
+# jax imports live inside the device functions: the restore tools' CLI
+# paths run on host-numpy twins (models/tools_np.py) and must not pay the
+# jax import (these are one-shot host processes; VERDICT r3 #6)
 
 
 # ------------------------------------------------------------------ gamma LUTs
@@ -90,6 +91,8 @@ def frameblend_weights(frame_t, current: float, framealt: int = 1,
 def frameblend_mix(frames, w16, gamma_dec=None, gamma_enc=None):
     """Blend stacked RGB frames [K, H, W, 3] by 16.16 weights
     (frameblend.cpp:1032-1081)."""
+    import jax.numpy as jnp
+
     fr = jnp.asarray(frames, jnp.int64)
     w = jnp.asarray([w for _, w in w16], jnp.int64)
     if gamma_dec is not None:
@@ -113,6 +116,8 @@ class FilmacState:
 def filmac_measure(rgb, gamma_dec=None):
     """Block min/max levels of one frame in 16.16 (filmac.cpp:886-923).
     Returns (minv, maxv) python ints (host sync — tiny scalars)."""
+    import jax.numpy as jnp
+
     f = jnp.asarray(rgb, jnp.int64)
     if gamma_dec is not None:
         f = jnp.take(jnp.asarray(gamma_dec), f, axis=0)
@@ -172,6 +177,8 @@ def filmac_update_levels(state: FilmacState, minv: int, maxv: int):
 def filmac_rescale(rgb, state: FilmacState, scaleto: int,
                    gamma_dec=None, gamma_enc=None):
     """Linear level rescale (filmac.cpp:946-954, output at :980-1009)."""
+    import jax.numpy as jnp
+
     f = jnp.asarray(rgb, jnp.int64)
     if gamma_dec is not None:
         f = jnp.take(jnp.asarray(gamma_dec), f, axis=0)
@@ -195,6 +202,10 @@ def vhsled_dejitter(rgb):
     channel of p against the *blue* channel of the line's first pixel
     (the `c >>= 8` typo at :686 shifts the diff, not ref).
     """
+    import jax.numpy as jnp
+
+    from cvsim_tpu.ops.roll import roll_rows
+
     f = jnp.asarray(rgb, jnp.int32)
     h, w = f.shape[:2]
     ref_blue = f[:, 0:1, 2]            # ARGB blue = lowest byte = our [...,2]

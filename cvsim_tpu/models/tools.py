@@ -39,14 +39,7 @@ def posterize(rgb, threshhold: int):
 
 # ------------------------------------------------------------------- colormap
 
-def take_colormap(map_rgb) -> np.ndarray:
-    """Build the 256-entry LUT from the middle scanline of a map image
-    (take_colormap, ffmpeg_colormap.cpp:785-799). Host-side numpy."""
-    map_rgb = np.asarray(map_rgb)
-    h, w, _ = map_rgb.shape
-    row = map_rgb[h // 2]
-    idx = (np.arange(256) * w) // 256
-    return row[idx].astype(np.int32)  # [256, 3]
+from cvsim_tpu.models.tools_np import take_colormap  # noqa: F401 (host numpy)
 
 
 def colormap_apply(rgb, lut):

@@ -30,6 +30,16 @@ def posterize(rgb: np.ndarray, threshhold: int) -> np.ndarray:
 
 # ------------------------------------------------------------------- colormap
 
+def take_colormap(map_rgb) -> np.ndarray:
+    """Build the 256-entry LUT from the middle scanline of a map image
+    (take_colormap, ffmpeg_colormap.cpp:785-799)."""
+    map_rgb = np.asarray(map_rgb)
+    h, w, _ = map_rgb.shape
+    row = map_rgb[h // 2]
+    idx = (np.arange(256) * w) // 256
+    return row[idx].astype(np.int32)  # [256, 3]
+
+
 def colormap_apply(rgb: np.ndarray, lut: np.ndarray) -> np.ndarray:
     """Green channel through the 256-entry LUT (tools.colormap_apply)."""
     g = np.asarray(rgb, np.int32)[..., 1]

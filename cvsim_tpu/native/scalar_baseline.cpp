@@ -223,8 +223,8 @@ static void vblend(Field& f) {
     }
 }
 
-static void process_field(Field& f, int fieldno, int parity) {
-    // VHS EP configuration (the headline benchmark config)
+static void process_field_ep(Field& f, int fieldno, int parity) {
+    // BASELINE.md config 3/4 core: full VHS EP chain (the headline config)
     const double luma_cut = 1400000, chroma_cut = 280000;
     const int chroma_delay = 14;
 
@@ -254,10 +254,54 @@ static void process_field(Field& f, int fieldno, int parity) {
     lowpass_plane(f.q, f.w, f.l, 2600000, 1);
 }
 
+static void process_field_composite(Field& f, int fieldno, int parity) {
+    // BASELINE.md config 1: plain composite emulation — chroma lowpass,
+    // QAM encode/decode, out lowpass; no noise, no VHS
+    lowpass_plane(f.i, f.w, f.l, 1300000, 2);
+    lowpass_plane(f.q, f.w, f.l, 600000, 4);
+    qam_encode(f, fieldno, parity, 50);
+    qam_decode(f, fieldno, parity, 50);
+    lowpass_plane(f.i, f.w, f.l, 2600000, 1);
+    lowpass_plane(f.q, f.w, f.l, 2600000, 1);
+}
+
+static void process_field_broadcast(Field& f, int fieldno, int parity) {
+    // BASELINE.md config 2: composite + luma/chroma/phase noise
+    // ("broadcast look"); same magnitudes as the device row
+    lowpass_plane(f.i, f.w, f.l, 1300000, 2);
+    lowpass_plane(f.q, f.w, f.l, 600000, 4);
+    qam_encode(f, fieldno, parity, 50);
+    video_noise(f, 6);
+    qam_decode(f, fieldno, parity, 50);
+    chroma_noise(f, 22);
+    chroma_phase_noise(f, 6);
+    lowpass_plane(f.i, f.w, f.l, 2600000, 1);
+    lowpass_plane(f.q, f.w, f.l, 2600000, 1);
+}
+
+static void process_field(Field& f, int fieldno, int parity,
+                          const char* config) {
+    if (!strcmp(config, "composite")) {
+        process_field_composite(f, fieldno, parity);
+    } else if (!strcmp(config, "broadcast")) {
+        process_field_broadcast(f, fieldno, parity);
+    } else if (!strcmp(config, "dub2")) {
+        // BASELINE.md config 4: 2-generation EP dub — the whole EP chain
+        // applied twice (generation 2 re-records generation 1's output,
+        // the re-encode pass; yc-recomb cost class
+        // ffmpeg_to_composite.cpp:943-946)
+        process_field_ep(f, fieldno, parity);
+        process_field_ep(f, fieldno, parity);
+    } else {
+        process_field_ep(f, fieldno, parity);  // "ep" (default)
+    }
+}
+
 int main(int argc, char** argv) {
     int n = argc > 1 ? atoi(argv[1]) : 60;
     int w = argc > 2 ? atoi(argv[2]) : 704;
     int l = argc > 3 ? atoi(argv[3]) : 240;
+    const char* config = argc > 4 ? argv[4] : "ep";
 
     Field f(w, l);
     for (int k = 0; k < w * l; k++) {
@@ -269,7 +313,7 @@ int main(int argc, char** argv) {
     auto t0 = std::chrono::steady_clock::now();
     long checksum = 0;
     for (int fi = 0; fi < n; fi++) {
-        process_field(f, fi, fi & 1);
+        process_field(f, fi, fi & 1, config);
         checksum += f.y[fi % (w * l)];
     }
     auto t1 = std::chrono::steady_clock::now();

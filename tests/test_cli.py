@@ -689,6 +689,53 @@ def test_frameblend_underscan(tmp_path):
     assert y0[: y0.shape[0] // 8].max() <= 16 and y0.max() > 50
 
 
+def test_host_tools_never_import_jax(tmp_path):
+    """The host-numpy sibling tools are one-shot CLI processes at the
+    reference's I/O-bound cost class; the ~2 s jax import must stay off
+    their path (VERDICT r3 #6). Runs them in a sitecustomize-free
+    subprocess (this host's sitecustomize pre-imports jax into every
+    interpreter) and asserts no jax module was ever loaded."""
+    import subprocess
+    import sys
+
+    import numpy as np_mod
+
+    site_dir = os.path.dirname(os.path.dirname(np_mod.__file__))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = make_clip(str(tmp_path / "in.y4m"), frames=2)
+    script = f"""
+import sys
+sys.path.insert(0, {site_dir!r})
+sys.path.insert(0, {repo!r})
+from cvsim_tpu.cli.main import main
+tools = [
+    ["posterize", "-i", {src!r}, "-o", {str(tmp_path / 'o1.y4m')!r}],
+    ["vhsled", "-i", {src!r}, "-o", {str(tmp_path / 'o2.y4m')!r}],
+    ["filmac", "-i", {src!r}, "-o", {str(tmp_path / 'o3.y4m')!r}],
+    ["frameblend", "-i", {src!r}, "-o", {str(tmp_path / 'o4.y4m')!r},
+     "-or", "24"],
+    ["average-delay", "-i", {src!r}, "-o", {str(tmp_path / 'o5.y4m')!r}],
+    ["colormap", "-i", {src!r}, "-i", {src!r},
+     "-o", {str(tmp_path / 'o6.y4m')!r}],
+    ["colorkey", "-i", {src!r}, "-i", {src!r},
+     "-o", {str(tmp_path / 'o7.y4m')!r}, "-color", "0x101010"],
+    ["normalize-ts", "-i", {src!r}, "-o", {str(tmp_path / 'o8.y4m')!r}],
+]
+for argv in tools:
+    rc = main(argv)
+    assert rc == 0, (argv, rc)
+bad = [m for m in sys.modules if m == "jax" or m.startswith("jax.")]
+assert not bad, bad[:5]
+print("JAXFREE-OK")
+"""
+    r = subprocess.run([sys.executable, "-S", "-c", script],
+                       capture_output=True, text=True, timeout=300,
+                       env={k: v for k, v in os.environ.items()
+                            if k != "PYTHONSTARTUP"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "JAXFREE-OK" in r.stdout
+
+
 def test_every_tool_prints_help():
     """Every reference tool prints a flag list and exits nonzero on -h
     (parse_argv help() + return 1); ours match across the family."""
