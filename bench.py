@@ -554,11 +554,21 @@ def ref_binary_rows(result: dict) -> None:
                     [exe, "-i", clip, "-o", out] + cvs_args[1:],
                     check=True, capture_output=True, timeout=300)
                 ref_vals.append(120 / (time.time() - t0))
+            # -S + explicit sys.path: these tools are jax-free host
+            # processes (pinned by tests/test_cli.py), but this rig's
+            # sitecustomize imports jax into EVERY interpreter (~2.1 s) —
+            # harness tunnel machinery the reference binaries don't pay
+            # either, so it stays out of the A/B.
+            import numpy as _np_mod
+            site_dir = os.path.dirname(os.path.dirname(_np_mod.__file__))
+            boot = (f"import sys; sys.path[:0] = [{site_dir!r}, {REPO!r}]; "
+                    "from cvsim_tpu.cli.main import main; "
+                    "sys.exit(main(sys.argv[1:]))")
             for _ in range(3):
                 out = os.path.join(tmp, "cv_out.mkv")
                 t0 = time.time()
                 subprocess.run(
-                    [sys.executable, "-m", "cvsim_tpu"] + cvs_args
+                    [sys.executable, "-S", "-c", boot] + cvs_args
                     + ["-i", clip, "-o", out],
                     check=True, cwd=REPO, capture_output=True, timeout=300)
                 cv_vals.append(120 / (time.time() - t0))

@@ -15,12 +15,13 @@ from fractions import Fraction
 import numpy as np
 
 from cvsim_tpu.host import timing, wavio, y4m
-from cvsim_tpu.host.colorconv import (
-    rgb_to_yuv601_np,
-    scale_frame_to_np as _scale_frame_to,
-)
 from cvsim_tpu.models import tools_np
+from cvsim_tpu.native import hostpix
 from cvsim_tpu.ops import noise_np
+
+# frame scaling and the restore-tool pixel kernels dispatch to the native
+# library (bit-exact numpy fallback inside hostpix)
+_scale_frame_to = hostpix.scale_frame_to
 
 # jax (and the device ops module) import lazily inside the tools that use
 # the device — scanimate, colormap's LUT build, cassette. The host-numpy
@@ -39,6 +40,11 @@ class _ToolArgs:
         self.output = ""
         self.width = 720
         self.height = 480
+        # the restore tools default output dims to the INPUT's dims
+        # (ffmpeg_vhsled.cpp:706-714), unlike the preset_NTSC 720x480 of
+        # the InputFile tools (ffmpeg_posterize.cpp:51) — they check these
+        self.width_set = False
+        self.height_set = False
         self.field_rate = Fraction(60000, 1001)
         self.use_422 = False
         self.delay = 1
@@ -69,6 +75,7 @@ class _ToolArgs:
                 self.output = argv[i]; i += 1
             elif a == "width":
                 self.width = int(argv[i]); i += 1
+                self.width_set = True
             elif a == "d":
                 self.delay = int(argv[i]); i += 1
                 if self.delay < 1 or self.delay > 256:
@@ -86,11 +93,14 @@ class _ToolArgs:
                 elif v == "720p60":   # preset_720p60, ffmpeg_scanimate.cpp:619
                     self.width, self.height = 1280, 720
                     self.field_rate = Fraction(60000, 1001)
+                    self.width_set = True
                 elif v == "1080p60":  # preset_1080p60, :628
                     self.width, self.height = 1920, 1080
                     self.field_rate = Fraction(60000, 1001)
+                    self.width_set = True
                 else:
                     raise ValueError(f"Unknown tv std '{v}'")
+                self.height_set = True
             elif a in extra:
                 kind, key = extra[a]
                 if kind == "flag":
@@ -123,14 +133,78 @@ def _open_video_inputs(paths):
     return readers, cleanups
 
 
-def _open_video_output(path):
+# Per-tool x264 profiles matching the reference binaries: the restore
+# tools encode superfast/crf16 (ffmpeg_vhsled.cpp:752-754,
+# filmac.cpp:740-742 — ~5x faster than the default preset and the
+# dominant cost of their frame loop), frameblend 25 Mbps ABR
+# (frameblend.cpp:794). Everything else uses the shared default.
+_ENC_RESTORE = {"crf": 16, "crf_max": 16, "preset": "superfast"}
+_ENC_FRAMEBLEND = {"bit_rate": 25_000_000}
+
+
+def _open_video_output(path, enc: dict | None = None):
     """(stream, finalize) for a video output path: plain Y4M file, or an
     H.264 container encode through the backend."""
     from cvsim_tpu.host import ffmpeg_pipe
 
     if not path:
         raise ValueError("needs -o <output>")
-    return ffmpeg_pipe.resolve_video_output(path)
+    return ffmpeg_pipe.resolve_video_output(path, **(enc or {}))
+
+
+class _AsyncWriter:
+    """Feeds writer.write(y, u, v) from a worker thread: the container
+    encode rides a pipe whose write blocks on x264 backpressure, which
+    would otherwise serialize per-frame compute with the encoder (the
+    reference tools have the same serialization — beating them is the
+    point). Bounded queue; close() flushes and re-raises any writer
+    error. Use as a context manager: on error exit, its own secondary
+    failure is suppressed (same rationale as _finalizing)."""
+
+    def __init__(self, writer, depth: int = 8):
+        import queue
+        import threading
+
+        self._w = writer
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self._err is None:
+                try:
+                    self._w.write(*item)
+                except BaseException as e:  # keep draining: no producer hang
+                    self._err = e
+
+    def write(self, y, u, v):
+        if self._err is not None:
+            raise self._err
+        self._q.put((y, u, v))
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            try:
+                self.close()
+            except Exception:
+                pass
+        return False
 
 
 @contextlib.contextmanager
@@ -208,17 +282,17 @@ def _frame_loop(args: _ToolArgs, per_field, multi: bool = False):
     """Drive input frames at the output field rate; per_field(frame(s),
     fieldno) -> RGB [H, W, 3] output frame."""
     writer, out_finalize = _open_tool_writer(args)
-    with _finalizing(out_finalize):
+    with _finalizing(out_finalize), _AsyncWriter(writer) as aw:
         for frames, current in _advance_fields(args, multi):
             frame = frames if multi else frames[0]
-            _write_rgb(writer, np.asarray(per_field(frame, current)),
+            _write_rgb(aw, np.asarray(per_field(frame, current)),
                        args.use_422)
             print(f"\x0dOutput field {current} ", end="", file=sys.stderr)
         print("", file=sys.stderr)
     return 0
 
 
-def _frame_loop_1to1(args: _ToolArgs, per_frame):
+def _frame_loop_1to1(args: _ToolArgs, per_frame, enc: dict | None = None):
     """One output frame per decoded input frame — the restore tools' loop
     shape (ffmpeg_vhsled.cpp:851-861, filmac.cpp:842-851: a frame is
     processed and encoded only when next_packet() decodes one; the output
@@ -228,13 +302,19 @@ def _frame_loop_1to1(args: _ToolArgs, per_frame):
     parity but has no observable effect on a CFR output."""
     (reader,), (in_cleanup,) = _open_video_inputs(args.inputs[:1])
     try:
+        # restore-tool default: output dims follow the input unless -width/
+        # -height were given (ffmpeg_vhsled.cpp:706-714, filmac.cpp same)
+        if not args.width_set:
+            args.width = reader.header.width
+        if not args.height_set and "height_flag" not in args.extra:
+            args.height = reader.header.height
         out_hdr = y4m.Y4MHeader(
             width=args.width, height=args.height, fps=reader.header.fps,
             interlacing="p", aspect="4:3",
             colorspace="422" if args.use_422 else "420jpeg")
-        out_stream, out_finalize = _open_video_output(args.output)
+        out_stream, out_finalize = _open_video_output(args.output, enc)
         writer = y4m.Y4MWriter(out_stream, out_hdr)
-        with _finalizing(out_finalize):
+        with _finalizing(out_finalize), _AsyncWriter(writer) as aw:
             n = 0
             for yf, uf, vf in reader:
                 if uf is None:
@@ -243,7 +323,7 @@ def _frame_loop_1to1(args: _ToolArgs, per_frame):
                 frame = _scale_underscan(
                     yf, uf, vf, args.width, args.height,
                     args.extra.get("underscan", 0))
-                _write_rgb(writer, np.asarray(per_frame(frame, n)),
+                _write_rgb(aw, np.asarray(per_frame(frame, n)),
                            args.use_422)
                 print(f"\x0dOutput frame {n} ", end="", file=sys.stderr)
                 n += 1
@@ -261,14 +341,16 @@ def _frame_loop_batched(args: _ToolArgs, per_batch, batch: int,
     field — the gen-1 GOP treatment for the compute-heavy sibling tools
     (VERDICT r2 #2)."""
     writer, out_finalize = _open_tool_writer(args)
+    wslot = [None]
 
     def flush(buf_frames, buf_fields):
         outs = per_batch(np.stack(buf_frames), buf_fields)
         for out_rgb, fieldno in zip(outs, buf_fields):
-            _write_rgb(writer, out_rgb, args.use_422)
+            _write_rgb(wslot[0], out_rgb, args.use_422)
             print(f"\x0dOutput field {fieldno} ", end="", file=sys.stderr)
 
-    with _finalizing(out_finalize):
+    with _finalizing(out_finalize), _AsyncWriter(writer) as aw:
+        wslot[0] = aw
         buf_frames, buf_fields = [], []
         for frames, current in _advance_fields(args, multi):
             buf_frames.append(_last_frame(frames))
@@ -646,16 +728,22 @@ def run_frameblend(argv):
 
     (reader,), (in_cleanup,) = _open_video_inputs(args.inputs[:1])
     fps = reader.header.fps
+    # output dims follow the input unless given (frameblend.cpp:751-752)
+    if not args.width_set:
+        args.width = reader.header.width
+    if not args.height_set and "height_flag" not in args.extra:
+        args.height = reader.header.height
     out_hdr = y4m.Y4MHeader(
         width=args.width, height=args.height, fps=Fraction(out_rate),
         interlacing="p", aspect="4:3",
         colorspace="422" if args.use_422 else "420jpeg")
-    out_stream, out_finalize = _open_video_output(args.output)
+    out_stream, out_finalize = _open_video_output(args.output,
+                                                  _ENC_FRAMEBLEND)
     writer = y4m.Y4MWriter(out_stream, out_hdr)
 
     try:
-        with _finalizing(out_finalize):
-            _run_frameblend_loop(args, reader, writer, out_rate, fps,
+        with _finalizing(out_finalize), _AsyncWriter(writer) as aw:
+            _run_frameblend_loop(args, reader, aw, out_rate, fps,
                                  framealt, fullframealt, squelch, gdec, genc)
     finally:
         in_cleanup()
@@ -692,7 +780,7 @@ def _run_frameblend_loop(args, reader, writer, out_rate, fps, framealt,
         w16, cutoff = restore.frameblend_weights(
             frame_t, current, framealt, fullframealt, squelch)
         used = [frames[i] for i, _ in w16]
-        out_rgb = tools_np.frameblend_mix(np.stack(used), w16, gdec, genc)
+        out_rgb = hostpix.frameblend_mix(used, w16, gdec, genc)
         _write_rgb(writer, out_rgb, args.use_422)
         print(f"\x0dOutput frame {current} ", end="", file=sys.stderr)
         current += 1
@@ -728,11 +816,11 @@ def run_filmac(argv):
         # 1:1 with input frames (filmac.cpp:842-851) — the temporal level
         # IIR (:927-942) must advance once per decoded frame, not once per
         # output field, or AGC converges at double speed
-        minv, maxv, scaleto = tools_np.filmac_measure(frame, gdec)
+        minv, maxv, scaleto = hostpix.filmac_measure(frame, gdec)
         restore.filmac_update_levels(state, minv, maxv)
-        return tools_np.filmac_rescale(frame, state, scaleto, gdec, genc)
+        return hostpix.filmac_rescale(frame, state, scaleto, gdec, genc)
 
-    return _frame_loop_1to1(args, per_frame)
+    return _frame_loop_1to1(args, per_frame, enc=_ENC_RESTORE)
 
 
 def run_vhsled(argv):
@@ -751,7 +839,8 @@ def run_vhsled(argv):
     if "out_rate" in args.extra:
         args.field_rate = args.extra["out_rate"]
     return _frame_loop_1to1(
-        args, lambda frame, n: tools_np.vhsled_dejitter(frame))
+        args, lambda frame, n: hostpix.vhsled_dejitter(frame),
+        enc=_ENC_RESTORE)
 
 
 def run_raw28ntsc(argv):
@@ -864,11 +953,7 @@ def run_normalize_ts(argv):
 
 
 def _write_rgb(writer, rgb, use_422: bool):
-    rgb = np.asarray(rgb)
-    y, u, v = rgb_to_yuv601_np(rgb[..., 0], rgb[..., 1], rgb[..., 2])
-    y = y.astype(np.uint8)
-    u = u.astype(np.uint8)
-    v = v.astype(np.uint8)
+    y, u, v = hostpix.rgb_to_yuv_planes(np.asarray(rgb))
     if use_422:
         writer.write(y, u[:, 0::2], v[:, 0::2])
     else:

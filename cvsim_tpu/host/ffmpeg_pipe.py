@@ -122,7 +122,10 @@ def resolve_video_input(path: str):
 
 
 def resolve_video_output(path: str, *, mux_wav: str | None = None,
-                         interlaced: bool = False, crf: int = 18):
+                         interlaced: bool = False, crf: int = 18,
+                         crf_max: int | None = None,
+                         preset: str | None = None,
+                         bit_rate: int | None = None):
     """Return (out_stream, finalize) for a video output path.
 
     `.y4m` (or no backend): a plain file the pipeline writes Y4M into.
@@ -130,13 +133,26 @@ def resolve_video_output(path: str, *, mux_wav: str | None = None,
     setup (H.264 gop 15, no B-frames, 4:3 SAR, optional interlaced DCT;
     ffmpeg_to_composite.cpp:2067-2106), optionally muxing a processed WAV
     as PCM S16LE alongside (:2034-2065) so the tool emits ONE container
-    with both streams, like every reference video tool."""
+    with both streams, like every reference video tool.
+
+    crf/crf_max/preset/bit_rate select the per-tool x264 profile: the
+    restore tools encode superfast crf 16 (ffmpeg_vhsled.cpp:752-754,
+    filmac.cpp:740-742), frameblend uses 25 Mbps ABR (frameblend.cpp:794);
+    bit_rate, when given, replaces crf."""
     if path.endswith(".y4m") or not have_backend():
         f = open(path, "wb")
         return f, f.close
     tool = av_tool()
     if tool is not None:
-        cmd = [tool, "encode", "-o", path, "-crf", str(crf)]
+        cmd = [tool, "encode", "-o", path]
+        if bit_rate is not None:
+            cmd += ["-vb", str(bit_rate)]
+        else:
+            cmd += ["-crf", str(crf)]
+            if crf_max is not None:
+                cmd += ["-crf-max", str(crf_max)]
+        if preset is not None:
+            cmd += ["-preset", preset]
         if mux_wav is not None:
             cmd += ["-wav", mux_wav]
         if interlaced:
@@ -146,8 +162,15 @@ def resolve_video_output(path: str, *, mux_wav: str | None = None,
                "-f", "yuv4mpegpipe", "-i", "-"]
         if mux_wav is not None:
             cmd += ["-i", mux_wav, "-c:a", "pcm_s16le", "-shortest"]
-        cmd += ["-c:v", "libx264", "-g", "15", "-bf", "0",
-                "-crf", str(crf), "-aspect", "4:3"]
+        cmd += ["-c:v", "libx264", "-g", "15", "-bf", "0", "-aspect", "4:3"]
+        if bit_rate is not None:
+            cmd += ["-b:v", str(bit_rate)]
+        else:
+            cmd += ["-crf", str(crf)]
+            if crf_max is not None:
+                cmd += ["-x264-params", f"crf-max={crf_max}"]
+        if preset is not None:
+            cmd += ["-preset", preset]
         if interlaced:
             cmd += ["-flags", "+ildct"]
         cmd += [path]

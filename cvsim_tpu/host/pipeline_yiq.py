@@ -29,15 +29,13 @@ from cvsim_tpu.host import progcache, timing, y4m
 from cvsim_tpu.host.colorconv import (
     hscale_bilinear_np,
     rgb_to_yuv601_np,
-    scale_frame_to_np,
     yuv_to_rgb601_np,
 )
 from cvsim_tpu.models import yiq
 
-
-# moved to colorconv.scale_frame_to_np so the jax-free sibling tools can
-# use it without importing this (jax-heavy) module; alias kept for callers
-_scale_frame_to = scale_frame_to_np
+# per-frame host scaling dispatches to the native kernel (bit-exact twin of
+# colorconv.scale_frame_to_np; numpy fallback inside hostpix)
+from cvsim_tpu.native.hostpix import scale_frame_to as _scale_frame_to
 
 
 class YIQPipeline:

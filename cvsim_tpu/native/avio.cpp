@@ -24,8 +24,8 @@
 //                         ffmpeg_to_composite.cpp:1892-1915)
 //   cvsim-av decode-audio -i IN -rate R -ch C
 //       decode + resample best audio stream -> s16le interleaved on stdout
-//   cvsim-av encode -o OUT [-wav W] [-crf N] [-preset P] [-interlaced]
-//                   [-pts-log F]
+//   cvsim-av encode -o OUT [-wav W] [-crf N] [-crf-max N] [-preset P]
+//                   [-vb BPS] [-interlaced] [-pts-log F]
 //       Y4M on stdin -> H.264 (gop 15, no B-frames, 4:3 DAR) + PCM S16LE
 //       in one container, the reference's output shape
 //       (ffmpeg_to_composite.cpp:2034-2106).  -pts-log replays a
@@ -101,7 +101,8 @@ struct Args {
   std::string in, out, wav, frame_log, pkt_log, audio_pkt_log, pts_log;
   std::string pix = "420";
   std::string preset;
-  int crf = 18, rate = 44100, ch = 2;
+  int crf = 18, crf_max = -1, rate = 44100, ch = 2;
+  long vb = 0;   // >0: ABR at this bit rate instead of crf (frameblend.cpp:794)
   bool interlaced = false, ts = false;
 };
 
@@ -118,6 +119,8 @@ Args parse_args(int argc, char **argv) {
     else if (f == "-wav") a.wav = val();
     else if (f == "-pix") a.pix = val();
     else if (f == "-crf") a.crf = atoi(val().c_str());
+    else if (f == "-crf-max") a.crf_max = atoi(val().c_str());
+    else if (f == "-vb") a.vb = atol(val().c_str());
     else if (f == "-preset") a.preset = val();
     else if (f == "-rate") a.rate = atoi(val().c_str());
     else if (f == "-ch") a.ch = atoi(val().c_str());
@@ -519,15 +522,25 @@ int cmd_encode(const Args &a) {
   vc->framerate = {in.fn, in.fd};
   vc->gop_size = 15;
   vc->max_b_frames = 0;
+  vc->thread_count = 0;   // auto frame-threading: the encoder otherwise
+                          // serializes the whole tool at ~16 ms/frame SD
   // 4:3 display aspect: SAR = DAR * H / W
   vc->sample_aspect_ratio = av_d2q(4.0 * in.h / (3.0 * in.w), 4096);
   if (a.interlaced || in.ilace == 't' || in.ilace == 'b')
     vc->flags |= AV_CODEC_FLAG_INTERLACED_DCT | AV_CODEC_FLAG_INTERLACED_ME;
   if (oc->oformat->flags & AVFMT_GLOBALHEADER)
     vc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-  char crfs[16];
-  snprintf(crfs, sizeof crfs, "%d", a.crf);
-  av_opt_set(vc->priv_data, "crf", crfs, 0);
+  if (a.vb > 0) {
+    vc->bit_rate = a.vb;   // ABR, x264 default preset (frameblend.cpp:794)
+  } else {
+    char crfs[16];
+    snprintf(crfs, sizeof crfs, "%d", a.crf);
+    av_opt_set(vc->priv_data, "crf", crfs, 0);
+    if (a.crf_max >= 0) {
+      snprintf(crfs, sizeof crfs, "%d", a.crf_max);
+      av_opt_set(vc->priv_data, "crf_max", crfs, 0);
+    }
+  }
   if (!a.preset.empty()) av_opt_set(vc->priv_data, "preset", a.preset.c_str(), 0);
   check(avcodec_open2(vc, venc, nullptr), "open video encoder");
   AVStream *vs = avformat_new_stream(oc, nullptr);
