@@ -653,7 +653,9 @@ def run_cassette(argv):
     key = jax.random.PRNGKey(0)
     outs = []
     pos = 0
-    chunk = 65536
+    # big chunks: dispatches are serialized by the carried state and each
+    # pays the tunnel RPC floor (same rationale as pipeline.run_audio)
+    chunk = 1 << 20
     while pos < len(samples):
         out, state = cassette_audio_process(
             jnp.asarray(samples[pos:pos + chunk], jnp.int32), state, key,

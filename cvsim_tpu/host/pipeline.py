@@ -694,8 +694,15 @@ class CompositePipeline:
 
     # ----------------------------------------------------------- audio side
 
-    def run_audio(self, in_path: str, out_path: str, chunk: int = 65536,
+    def run_audio(self, in_path: str, out_path: str, chunk: int = 1 << 20,
                   pts_packets=None):
+        # chunk: the whole stream is decoded up front (the reference also
+        # reads ahead of the video loop), so the chunk size only sets the
+        # device dispatch granularity. Each dispatch pays the tunnel RPC
+        # floor (~20 ms on tunneled hosts) and the chunks are serialized by
+        # the carried AudioState, so BIG chunks win: 64k chunks measured
+        # 65x realtime, 1M chunks are the r4 audio row (VERDICT r3 #2).
+        # Chunked-state == whole-stream is pinned by tests/test_audio.py.
         cfg = self.cfg
         acfg = cfg.audio
         from cvsim_tpu.host import ffmpeg_pipe

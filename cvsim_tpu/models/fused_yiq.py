@@ -25,6 +25,7 @@ stay far below 2^24).
 from __future__ import annotations
 
 import functools
+import types
 
 import numpy as np
 import jax
@@ -217,7 +218,7 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, tl: int):
     do_pre = cfg.composite_preemphasis != 0 and cfg.composite_preemphasis_cut > 0
     do_noise = cfg.video_noise != 0
 
-    def kernel(r_ref, g_ref, b_ref, xi_ref, nk_ref, tt_ref, d_ref,
+    def kernel(r_ref, g_ref, b_ref, xi_ref, nk_ref, row_ref, tt_ref, d_ref,
                tt3_ref, d3_ref, vt_ref, y_ref):
         cs = _TTBinder()
         cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
@@ -247,18 +248,27 @@ def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, tl: int):
             y = _trunc(y + (y - lp) * cfg.composite_preemphasis)
 
         if do_noise:
+            # row_ref carries the global first-row index of this shard's
+            # block (0 off-mesh): the noise streams are content-addressed
+            # by ABSOLUTE row, so line-sharded and plain dispatch generate
+            # identical walks (parallel/mesh.run_sharded_chain_fused_lines)
             y = y + _walk_rows_kernel(
                 nk_ref[0, 0, 0].astype(jnp.uint32),
-                pl.program_id(1) * tl, cfg.video_noise, 0, w, wp, tl,
-                cs[7])
+                row_ref[0, 0] + pl.program_id(1) * tl, cfg.video_noise,
+                0, w, wp, tl, cs[7])
 
         y_ref[0] = jnp.where(active, y, 0.0)
 
     return kernel
 
 
-def _kernel_b_front(cfg, w, wp, l, tl, y, xi_col, nk_u, sin_a, cos_a, cs):
-    """Decode + chroma/phase noise + VHS bandlimit (row-independent)."""
+def _kernel_b_front(cfg, w, wp, l, tl, y, xi_col, nk_u, row0, sin_a, cos_a,
+                    cs):
+    """Decode + chroma/phase noise + VHS bandlimit (row-independent).
+
+    row0: GLOBAL index of this block's first row; l: GLOBAL field height
+    (the q-walk's stream plane offset l*w addresses the whole field even
+    when only a line shard of it is resident)."""
     nb = wp // BLOCK
     speed = cfg.vhs_tape_speed
     xw = _iota_w(wp)
@@ -271,7 +281,6 @@ def _kernel_b_front(cfg, w, wp, l, tl, y, xi_col, nk_u, sin_a, cos_a, cs):
         q = jnp.zeros_like(y)
 
     if cfg.video_chroma_noise != 0:
-        row0 = pl.program_id(1) * tl
         mag = cfg.video_chroma_noise
         i = i + _walk_rows_kernel(nk_u, row0, mag, 0, w, wp, tl, cs[7])
         q = q + _walk_rows_kernel(nk_u, row0, mag, l * w, w, wp, tl, cs[7])
@@ -376,6 +385,7 @@ def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
         xi_col = xi_ref[0].astype(jnp.int32)
         y, i, q = _kernel_b_front(cfg, w, wp, l, tl, y, xi_col,
                                   nk_ref[0, 0, 1].astype(jnp.uint32),
+                                  pl.program_id(1) * tl,
                                   sc_ref[0, :, 0:1], sc_ref[0, :, 1:2], cs)
         if cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc:
             i, q = _kernel_b_vblend(cfg, i, q)
@@ -391,7 +401,7 @@ def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
 def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
     """Tiled-mode front half (row-independent; vblend happens in XLA)."""
 
-    def kernel(y_ref, xi_ref, nk_ref, sc_ref, tt_ref, d_ref,
+    def kernel(y_ref, xi_ref, nk_ref, row_ref, sc_ref, tt_ref, d_ref,
                tt3_ref, d3_ref, vt_ref, y_out, i_out, q_out):
         cs = _TTBinder()
         cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
@@ -399,6 +409,7 @@ def _make_kernel_b1(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
         xi_col = xi_ref[0].astype(jnp.int32)
         y, i, q = _kernel_b_front(cfg, w, wp, l, tl, y, xi_col,
                                   nk_ref[0, 0, 1].astype(jnp.uint32),
+                                  row_ref[0, 0] + pl.program_id(1) * tl,
                                   sc_ref[0, :, 0:1], sc_ref[0, :, 1:2], cs)
         y_out[0] = y
         i_out[0] = i
@@ -467,21 +478,27 @@ def _stack_alpha_consts(alphas):
     return tuple(np.stack(x) for x in (tts, ds, tt3s, d3s, vts))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def composite_layer_rgb_fused(
-    rgb, fieldno, field_parity, key, *,
-    cfg: CompositeConfig, interpret: bool = False,
-):
-    """Drop-in twin of yiq.composite_layer_rgb running on the fused kernels.
-    Identical RNG stream consumption; f32 math (production dtype)."""
+class _FusedCtx(types.SimpleNamespace):
+    """Prepared inputs/specs for one fused dispatch (or one line shard)."""
+
+
+def _fused_prepare(cfg: CompositeConfig, rgb, fieldno, field_parity, key,
+                   row0, noise_l: int, interpret: bool, sharded: bool):
+    """Everything composite_layer_rgb_fused needs before the first kernel:
+    per-field stage keys, per-line streams (phase xi, chroma-phase sincos,
+    dropout keep — computed at the GLOBAL height `noise_l` and row-sliced
+    when `sharded`, because the phase pattern, the per-line walk and the
+    dropout stream are all addressed by ABSOLUTE line), decay constants,
+    padded planes, line tiling, and the pallas specs/grid."""
     rgb = jnp.asarray(rgb, jnp.int32)
     b, l, w, _ = rgb.shape
     nb = -(-w // BLOCK)
     wp = nb * BLOCK
     dtype = jnp.float32
 
+    gen_l = noise_l if sharded else l
     xi = scanline_phase_xi(
-        fieldno, field_parity, l,
+        fieldno, field_parity, gen_l,
         cfg.video_scanline_phase_shift, cfg.video_scanline_phase_shift_offset,
         cfg.ntsc, gen1=False)
     keys = [field_stage_keys(key, fieldno, sid) for sid in range(5)]
@@ -493,18 +510,24 @@ def composite_layer_rgb_fused(
     keys_ab = jnp.stack([keys[0], keys[2]],
                     axis=-1).astype(jnp.int32)[:, None, :]  # [B,1,2]
     if cfg.video_chroma_phase_noise != 0:
-        pwalk = random_walk_per_field(keys[3], l, cfg.video_chroma_phase_noise,
+        pwalk = random_walk_per_field(keys[3], gen_l,
+                                      cfg.video_chroma_phase_noise,
                                       dtype=dtype)
         ang = c_int(pwalk) * jnp.asarray(jnp.pi / 100.0, dtype)
         sincos = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [B, L, 2]
     else:
-        zeros = jnp.zeros((b, l), dtype)
+        zeros = jnp.zeros((b, gen_l), dtype)
         sincos = jnp.stack([zeros, zeros + 1.0], axis=-1)
     if cfg.video_chroma_loss != 0:
-        rr = randint_per_field(keys[4], (l,), 0, 100000)
+        rr = randint_per_field(keys[4], (gen_l,), 0, 100000)
         keep = (rr >= cfg.video_chroma_loss).astype(dtype)[..., None]  # [B,L,1]
     else:
-        keep = jnp.ones((b, l, 1), dtype)
+        keep = jnp.ones((b, gen_l, 1), dtype)
+    if sharded:
+        # this shard's rows of the global per-line streams
+        xi = jax.lax.dynamic_slice_in_dim(xi, row0, l, axis=1)
+        sincos = jax.lax.dynamic_slice_in_dim(sincos, row0, l, axis=1)
+        keep = jax.lax.dynamic_slice_in_dim(keep, row0, l, axis=1)
 
     tt_np, d_np, tt3_np, d3_np, vt_np = _alpha_consts(cfg)
     tts = jnp.asarray(tt_np)
@@ -515,8 +538,15 @@ def composite_layer_rgb_fused(
 
     # line tiling: single tile (whole field resident, vblend in-kernel) when
     # the field fits VMEM; otherwise TL-row tiles with the vertical blend in
-    # XLA between the two row-independent kernel halves (HD path)
-    if l * wp <= min(_SINGLE_TILE_BUDGET, max(_TILE_BUDGET, 1) * 2):
+    # XLA between the two row-independent kernel halves (HD path). A line
+    # shard always runs tiled (the in-kernel vblend's row-0/1 special cases
+    # are global-row facts) with tl | l, so the shard needs no line padding
+    # and shards reassemble into the exact global raster.
+    if sharded:
+        tl = l
+        while tl * wp > _TILE_BUDGET and tl > 1:
+            tl = next(d for d in range(tl - 1, 0, -1) if l % d == 0)
+    elif l * wp <= min(_SINGLE_TILE_BUDGET, max(_TILE_BUDGET, 1) * 2):
         tl = l
     else:
         tl = 256
@@ -524,7 +554,7 @@ def composite_layer_rgb_fused(
             tl //= 2
     n_lt = -(-l // tl)
     lp = n_lt * tl
-    single_tile = (n_lt == 1)
+    single_tile = (n_lt == 1) and not sharded
 
     def padw(a, fill=0.0):
         if wp != w:
@@ -562,79 +592,141 @@ def composite_layer_rgb_fused(
                            memory_space=pltpu.VMEM)
     spec_nk = pl.BlockSpec((1, 1, 2), lambda i, j: (i, 0, 0),
                            memory_space=pltpu.SMEM)
-    grid = (b, n_lt)
+    spec_row = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    # global first-row index of this dispatch's block 0 — nonzero only on
+    # the line-sharded multi-chip path (run_sharded_chain_fused_lines)
+    row0_arr = jnp.asarray(row0, jnp.int32).reshape(1, 1)
 
-    kernel_a = _make_kernel_a(cfg, w, wp, tl)
-    y_enc = pl.pallas_call(
+    return _FusedCtx(
+        cfg=cfg, interpret=interpret, dtype=dtype,
+        b=b, l=l, w=w, wp=wp, noise_l=noise_l,
+        tl=tl, n_lt=n_lt, lp=lp, single_tile=single_tile,
+        grid=(b, n_lt), padl=padl,
+        rf=rf, gf=gf, bf=bf, xi_col=xi_col, sincos_p=sincos_p,
+        keep_p=keep_p, keys=keys, keys_ab=keys_ab, row0_arr=row0_arr,
+        consts=(tts, ds, tt3s, d3s, vts),
+        specs3=specs3, spec_col=spec_col, spec_sc=spec_sc,
+        spec_consts=(spec_tt, spec_d, spec_tt, spec_d3, spec_vt),
+        spec_nk=spec_nk, spec_row=spec_row,
+    )
+
+
+def _fused_stage_a(ctx: _FusedCtx):
+    """Kernel A: RGB->YIQ, in-chroma lowpass, QAM encode, preemphasis,
+    luma noise. [B, Lp, Wp] encoded-luma plane out."""
+    kernel_a = _make_kernel_a(ctx.cfg, ctx.w, ctx.wp, ctx.tl)
+    return pl.pallas_call(
         kernel_a,
-        out_shape=jax.ShapeDtypeStruct((b, lp, wp), dtype),
-        grid=grid,
-        in_specs=[specs3(), specs3(), specs3(), spec_col, spec_nk,
-                  spec_tt, spec_d, spec_tt, spec_d3, spec_vt],
-        out_specs=specs3(),
-        interpret=interpret,
-    )(rf, gf, bf, xi_col, keys_ab, tts, ds, tt3s, d3s, vts)
+        out_shape=jax.ShapeDtypeStruct((ctx.b, ctx.lp, ctx.wp), ctx.dtype),
+        grid=ctx.grid,
+        in_specs=[ctx.specs3(), ctx.specs3(), ctx.specs3(), ctx.spec_col,
+                  ctx.spec_nk, ctx.spec_row, *ctx.spec_consts],
+        out_specs=ctx.specs3(),
+        interpret=ctx.interpret,
+    )(ctx.rf, ctx.gf, ctx.bf, ctx.xi_col, ctx.keys_ab, ctx.row0_arr,
+      *ctx.consts)
+
+
+def _fused_stage_b_single(ctx: _FusedCtx, y_enc):
+    """Single-tile kernel B (whole field resident, vblend in-kernel)."""
+    kernel_b = _make_kernel_b(ctx.cfg, ctx.w, ctx.wp, ctx.noise_l, ctx.tl)
+    return pl.pallas_call(
+        kernel_b,
+        out_shape=(jax.ShapeDtypeStruct((ctx.b, ctx.lp, ctx.wp),
+                                        ctx.dtype),) * 3,
+        grid=ctx.grid,
+        in_specs=[ctx.specs3(), ctx.spec_col, ctx.spec_nk, ctx.spec_sc,
+                  ctx.spec_col, *ctx.spec_consts],
+        out_specs=(ctx.specs3(),) * 3,
+        interpret=ctx.interpret,
+    )(y_enc, ctx.xi_col, ctx.keys_ab, ctx.sincos_p, ctx.keep_p, *ctx.consts)
+
+
+def _fused_stage_b1(ctx: _FusedCtx, y_enc):
+    """Tiled-mode kernel B front half (row-independent)."""
+    kernel_b1 = _make_kernel_b1(ctx.cfg, ctx.w, ctx.wp, ctx.noise_l, ctx.tl)
+    return pl.pallas_call(
+        kernel_b1,
+        out_shape=(jax.ShapeDtypeStruct((ctx.b, ctx.lp, ctx.wp),
+                                        ctx.dtype),) * 3,
+        grid=ctx.grid,
+        in_specs=[ctx.specs3(), ctx.spec_col, ctx.spec_nk, ctx.spec_row,
+                  ctx.spec_sc, *ctx.spec_consts],
+        out_specs=(ctx.specs3(),) * 3,
+        interpret=ctx.interpret,
+    )(y_enc, ctx.xi_col, ctx.keys_ab, ctx.row0_arr, ctx.sincos_p,
+      *ctx.consts)
+
+
+def _vblend_xla(p, l: int, padl):
+    """2-line chroma blend in XLA over the REAL rows of a padded plane
+    (same math as the in-kernel version: row 0 kept, row 1 blends with 0)."""
+    pr = p[:, :l]
+    prev = jnp.concatenate(
+        [jnp.zeros_like(pr[:, :1]), pr[:, :-1]], axis=1)
+    rows = jnp.arange(l)[None, :, None]
+    prev = jnp.where(rows == 1, 0.0, prev)
+    blended = jnp.floor((prev + pr + 1.0) / 2.0)
+    out = jnp.where(rows == 0, pr, blended)
+    return padl(out)
+
+
+def _fused_stage_b2(ctx: _FusedCtx, y2, i2, q2):
+    """Tiled-mode kernel B back half (row-independent)."""
+    kernel_b2 = _make_kernel_b2(ctx.cfg, ctx.w, ctx.wp)
+    return pl.pallas_call(
+        kernel_b2,
+        out_shape=(jax.ShapeDtypeStruct((ctx.b, ctx.lp, ctx.wp),
+                                        ctx.dtype),) * 3,
+        grid=ctx.grid,
+        in_specs=[ctx.specs3(), ctx.specs3(), ctx.specs3(), ctx.spec_col,
+                  ctx.spec_col, *ctx.spec_consts],
+        out_specs=(ctx.specs3(),) * 3,
+        interpret=ctx.interpret,
+    )(y2, i2, q2, ctx.xi_col, ctx.keep_p, *ctx.consts)
+
+
+def _crop_stack_rgb(ctx: _FusedCtx, r_o, g_o, b_o):
+    out = jnp.stack([r_o[:, :ctx.l, :ctx.w], g_o[:, :ctx.l, :ctx.w],
+                     b_o[:, :ctx.l, :ctx.w]], axis=-1)
+    return out.astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def composite_layer_rgb_fused(
+    rgb, fieldno, field_parity, key, *,
+    cfg: CompositeConfig, interpret: bool = False,
+):
+    """Drop-in twin of yiq.composite_layer_rgb running on the fused kernels.
+    Identical RNG stream consumption; f32 math (production dtype)."""
+    rgb = jnp.asarray(rgb, jnp.int32)
+    l, w = rgb.shape[1:3]
+    ctx = _fused_prepare(cfg, rgb, fieldno, field_parity, key,
+                         row0=0, noise_l=l, interpret=interpret,
+                         sharded=False)
+
+    y_enc = _fused_stage_a(ctx)
 
     # head switching on the encoded luma (XLA, windowed, applied IN PLACE
     # on the padded plane: only the <=64-line window moves through HBM —
     # no full-plane crop/astype/re-pad hop between the kernel halves)
     if cfg.vhs_head_switching:
         y_enc = yiq.head_switching_padded(
-            y_enc, l, w, field_parity, keys[1],
+            y_enc, l, w, field_parity, ctx.keys[1],
             point=cfg.vhs_head_switching_point,
             phase=cfg.vhs_head_switching_phase,
             phase_noise=cfg.vhs_head_switching_phase_noise,
             ntsc=cfg.ntsc, fill=0.0)
 
     do_vblend = cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc
-    if single_tile:
-        kernel_b = _make_kernel_b(cfg, w, wp, l, tl)
-        r_o, g_o, b_o = pl.pallas_call(
-            kernel_b,
-            out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
-            grid=grid,
-            in_specs=[specs3(), spec_col, spec_nk, spec_sc, spec_col,
-                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt],
-            out_specs=(specs3(),) * 3,
-            interpret=interpret,
-        )(y_enc, xi_col, keys_ab, sincos_p, keep_p, tts, ds, tt3s, d3s,
-          vts)
+    if ctx.single_tile:
+        r_o, g_o, b_o = _fused_stage_b_single(ctx, y_enc)
     else:
-        kernel_b1 = _make_kernel_b1(cfg, w, wp, l, tl)
-        y2, i2, q2 = pl.pallas_call(
-            kernel_b1,
-            out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
-            grid=grid,
-            in_specs=[specs3(), spec_col, spec_nk, spec_sc,
-                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt],
-            out_specs=(specs3(),) * 3,
-            interpret=interpret,
-        )(y_enc, xi_col, keys_ab, sincos_p, tts, ds, tt3s, d3s, vts)
+        y2, i2, q2 = _fused_stage_b1(ctx, y_enc)
         if do_vblend:
-            # 2-line chroma blend in XLA over the REAL rows (same math as
-            # the in-kernel version: row 0 kept, row 1 blends with 0)
-            def vblend(p):
-                pr = p[:, :l]
-                prev = jnp.concatenate(
-                    [jnp.zeros_like(pr[:, :1]), pr[:, :-1]], axis=1)
-                rows = jnp.arange(l)[None, :, None]
-                prev = jnp.where(rows == 1, 0.0, prev)
-                blended = jnp.floor((prev + pr + 1.0) / 2.0)
-                out = jnp.where(rows == 0, pr, blended)
-                return padl(out)
-            i2 = vblend(i2)
-            q2 = vblend(q2)
-        kernel_b2 = _make_kernel_b2(cfg, w, wp)
-        r_o, g_o, b_o = pl.pallas_call(
-            kernel_b2,
-            out_shape=(jax.ShapeDtypeStruct((b, lp, wp), dtype),) * 3,
-            grid=grid,
-            in_specs=[specs3(), specs3(), specs3(), spec_col, spec_col,
-                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt],
-            out_specs=(specs3(),) * 3,
-            interpret=interpret,
-        )(y2, i2, q2, xi_col, keep_p, tts, ds, tt3s, d3s, vts)
+            i2 = _vblend_xla(i2, l, ctx.padl)
+            q2 = _vblend_xla(q2, l, ctx.padl)
+        r_o, g_o, b_o = _fused_stage_b2(ctx, y2, i2, q2)
 
-    out = jnp.stack([r_o[:, :l, :w], g_o[:, :l, :w], b_o[:, :l, :w]],
-                    axis=-1)
-    return out.astype(jnp.uint8)
+    return _crop_stack_rgb(ctx, r_o, g_o, b_o)

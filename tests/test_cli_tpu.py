@@ -56,6 +56,50 @@ def test_cli_fused_equals_xla_on_hardware(tmp_path):
 
 @pytest.mark.skipif("CVSIM_TPU_TESTS" not in os.environ,
                     reason="set CVSIM_TPU_TESTS=1 on a TPU host")
+def test_line_sharded_kernels_native_on_hardware():
+    """The line-sharded fused kernels (row_ref SMEM operand, nonzero
+    global-row offsets, forced tiled mode) compiled NATIVELY on the real
+    chip: the sequential one-device emulation of the sharded program —
+    same shard bodies as run_sharded_chain_fused_lines — must byte-equal
+    the unsharded fused dispatch. CPU CI proves the same equality in
+    interpret mode (tests/test_parallel.py); only this run proves the
+    Mosaic compilation of the row-offset kernels."""
+    if not _tpu_available():
+        pytest.skip("no TPU backend available")
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from cvsim_tpu.config import CompositeConfig, VHSSpeed
+from cvsim_tpu.models.fused_yiq import composite_layer_rgb_fused
+from cvsim_tpu.parallel.mesh import run_fused_lines_local
+cfg = CompositeConfig(
+    emulating_vhs=True, vhs_tape_speed=VHSSpeed.EP,
+    video_noise=6, video_chroma_noise=22, video_chroma_phase_noise=6,
+    video_chroma_loss=8, vhs_head_switching=True)
+rng = np.random.default_rng(4)
+b, l, w = 2, 64, 128
+rgb = rng.integers(0, 256, size=(b, l, w, 3)).astype(np.int32)
+fieldno = jnp.arange(b, dtype=jnp.int32)
+parity = jnp.asarray(np.arange(b) & 1, jnp.int32)
+key = jax.random.PRNGKey(11)
+whole = np.asarray(composite_layer_rgb_fused(
+    jnp.asarray(rgb), fieldno, parity, key, cfg=cfg))
+shard = np.asarray(run_fused_lines_local(
+    cfg, rgb, fieldno, parity, key, sp=4, interpret=False))
+np.testing.assert_array_equal(shard, whole)
+print('LINE_SHARD_NATIVE_OK')
+"""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0 and "LINE_SHARD_NATIVE_OK" in r.stdout, (
+        r.stdout + r.stderr[-2000:])
+
+
+@pytest.mark.skipif("CVSIM_TPU_TESTS" not in os.environ,
+                    reason="set CVSIM_TPU_TESTS=1 on a TPU host")
 def test_cli_devices_flag_on_hardware(tmp_path):
     """-devices 1 on the real chip: the shard_map-wrapped fused chain inside
     the GOP program (the multi-chip deployment seam) must byte-equal the

@@ -10,6 +10,7 @@ from cvsim_tpu.parallel.mesh import (
     make_mesh,
     run_sharded_chain,
     run_sharded_chain_fused,
+    run_sharded_chain_fused_lines,
     _factor_2d,
 )
 
@@ -70,6 +71,44 @@ def test_sharded_chain_fused_seam_matches_single_device():
     with pytest.raises(ValueError, match="must divide"):
         run_sharded_chain_fused(mesh, cfg, rgb[:6], fieldno[:6], parity[:6],
                                 key)
+
+
+def test_line_sharded_fused_bit_identical():
+    """Scanline sharding for the FUSED path (SURVEY 2.3 TP-analogue): the
+    line axis sharded over 'sp' with the content-addressed noise walks
+    addressed by absolute row must equal the unsharded staged chain
+    bit-for-bit — including noise, head switching (which straddles shard
+    boundaries) and the 2-line chroma vertical blend (1-line halo)."""
+    cfg = CompositeConfig(
+        emulating_vhs=True, vhs_tape_speed=VHSSpeed.EP,
+        video_noise=6, video_chroma_noise=22, video_chroma_phase_noise=6,
+        video_chroma_loss=8, vhs_head_switching=True)
+    rng = np.random.default_rng(4)
+    b, l, w = 2, 64, 128   # batch < 8 devices: dp-only would idle 6 chips
+    rgb = rng.integers(0, 256, size=(b, l, w, 3)).astype(np.int32)
+    fieldno = np.arange(b, dtype=np.int32)
+    parity = (np.arange(b) & 1).astype(np.int32)
+    key = jax.random.PRNGKey(11)
+
+    mesh = make_mesh(8, dp=2)   # dp=2 x sp=4: 16 lines per shard
+    sharded = np.asarray(run_sharded_chain_fused_lines(
+        mesh, cfg, rgb, fieldno, parity, key))
+    single = np.asarray(yiq.composite_layer_rgb(
+        jnp.asarray(rgb), jnp.asarray(fieldno), jnp.asarray(parity), key,
+        cfg=cfg))
+    np.testing.assert_array_equal(sharded, single)
+
+    import pytest
+    with pytest.raises(ValueError, match="must divide"):
+        run_sharded_chain_fused_lines(mesh, cfg, rgb[:, :61], fieldno,
+                                      parity, key)
+
+    # the sequential one-device emulation (what the hardware-gated test
+    # runs natively on the real chip) goes through the SAME shard bodies
+    from cvsim_tpu.parallel.mesh import run_fused_lines_local
+    local = np.asarray(run_fused_lines_local(
+        cfg, rgb, fieldno, parity, key, sp=4, interpret=True))
+    np.testing.assert_array_equal(local, single)
 
 
 def test_make_mesh_fails_loud_on_too_few_devices():
