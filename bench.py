@@ -358,7 +358,9 @@ def audio_realtime_x() -> dict:
         vals.append(chunk / dt / acfg.rate)
         print(f"[bench] audio rep {r}: {dt*1e3:.1f}ms for {chunk} samples "
               f"-> {chunk/dt/acfg.rate:.0f}x realtime", file=sys.stderr)
-    return _rep_stats(vals)
+    st = _rep_stats(vals)
+    st["backend"] = jax.default_backend()   # VERDICT r3 #2: name the backend
+    return st
 
 
 def _write_clip(path: str, frames: int) -> None:
@@ -579,6 +581,25 @@ def ref_binary_rows(result: dict) -> None:
         _sh.rmtree(tmp, ignore_errors=True)
 
 
+def tpu_gated_tests_row(result: dict) -> None:
+    """Run the hardware-gated tests (tests/test_cli_tpu.py — fused==XLA on
+    the real chip, shard_map around Pallas, line-sharded kernels native)
+    once per round and record pass/fail in the artifact, so the hardware
+    path can't silently rot between rounds (VERDICT r3 weak #6). CPU CI
+    skips these; only the bench rig has the chip."""
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_cli_tpu.py", "-q",
+         "--tb=line"],
+        cwd=REPO, env=dict(os.environ, CVSIM_TPU_TESTS="1"),
+        capture_output=True, text=True, timeout=2400)
+    tail = (r.stdout.strip().splitlines() or [""])[-1]
+    result["tpu_gated_tests"] = {"rc": r.returncode, "summary": tail}
+    print(f"[bench] tpu-gated tests: rc={r.returncode} {tail}",
+          file=sys.stderr)
+    if r.returncode != 0:
+        print(r.stdout[-3000:], file=sys.stderr)
+
+
 def e2e_daemon_fields_per_sec() -> float:
     """Throughput of the 300-frame clip through a WARM `cvsim serve`
     daemon — the product answer to the per-process program-load stall:
@@ -752,6 +773,12 @@ def main():
         for k in ("compile_s", "first_run_s"):
             if k in dev:
                 result[k] = dev[k]
+        if not outage:
+            try:
+                tpu_gated_tests_row(result)
+            except Exception as e:
+                print(f"[bench] tpu-gated tests row failed "
+                      f"({type(e).__name__}: {e})", file=sys.stderr)
     if mode in ("both", "--e2e"):
         # host-only rows first: immune to tunnel weather
         try:
