@@ -6,7 +6,12 @@ Prints ONE JSON line:
    "e2e_fields_per_sec": N, "e2e_steady_fields_per_sec": N,
    "link_mb_per_sec": N}
 
-value = device-compute throughput (the chain itself, one chip).
+value = device-compute throughput (the chain itself, one chip), measured
+as K chain iterations inside ONE program (lax.scan, fresh inputs per
+iteration — see _scan_rate) so this host's ~25-40ms tunneled per-dispatch
+RPC floor (recorded as dispatch_floor_ms) is paid once per rep, not once
+per batch: r1-r3 per-dispatch loops under-reported the chain ~40% because
+~95% of each 256-field dispatch's wall was that floor.
 e2e_* = the actual CLI tool (`cvsim to-composite -vhs -vhs-speed ep`) on a
 real 480i Y4M clip, decode->chain->encode wall-clock, same measurement the
 judge makes. On tunneled dev hosts e2e is bound by the host<->device link
@@ -53,6 +58,99 @@ def _put(result: dict, key: str, stats: dict) -> None:
     result[key + "_stats"] = stats
 
 
+def dispatch_floor_ms() -> dict:
+    """Median wall-clock of a no-op dispatch+fetch roundtrip — the tunneled
+    backend's per-call RPC floor (~25-40ms on this host; a production PCIe
+    host pays ~0.1ms). Recorded so the scan-rate rows below can be read
+    against it: r3's per-dispatch loop was measuring this floor, not the
+    chain (8 batches of 256 fields = 8 serialized roundtrips -> the 'SD
+    9k fields/s' ceiling was ~95% RPC floor)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def noop(k):
+        return k.sum()
+
+    k = jax.random.PRNGKey(0)
+    c = noop.lower(k).compile()
+    float(c(k))
+    vals = []
+    for _ in range(5):
+        t0 = time.time()
+        float(c(k))
+        vals.append((time.time() - t0) * 1e3)
+    st = _rep_stats(vals)
+    print(f"[bench] dispatch floor: {st['median']:.1f}ms median "
+          f"[{st['min']:.1f}..{st['max']:.1f}]", file=sys.stderr)
+    return st
+
+
+def _scan_rate(tag: str, chain_scalar, datas, n_fields_iter: int,
+               keys_for_rep, *, n_vary: int = 1, K: int = 32,
+               reps: int = REPS) -> dict:
+    """True device throughput of one chain iteration: K iterations run
+    inside ONE program via lax.scan, so the tunneled backend's ~25-40ms
+    per-dispatch RPC floor (see dispatch_floor_ms) is paid once per rep
+    instead of once per batch — this is what a production host (sub-ms
+    dispatch) sees per batch. Honesty guards:
+      * the first n_vary pixel inputs are XORed with the iteration index
+        inside the scan body, so XLA cannot hoist the input prep out of
+        the loop — every iteration processes fresh data, like the
+        streaming pipelines (the XOR pass itself stays in the measured
+        time);
+      * keys change per iteration AND per rep, so the lazily-executing
+        backend cannot dedupe work;
+      * the full output reduces to one f32 scalar that is fetched
+        (forces execution, keeps D2H at 4 bytes);
+      * the raw wall-clock rate is reported — the residual floor share
+        (~38ms / rep) is NOT subtracted.
+    chain_scalar(*datas, key) must reduce its output to a f32 scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    def prog(*args):
+        ds, ks, js = args[:-2], args[-2], args[-1]
+
+        def body(carry, kj):
+            k, j = kj
+            varied = tuple(d ^ j if i < n_vary else d
+                           for i, d in enumerate(ds))
+            return carry + chain_scalar(*varied, k), 0
+
+        s, _ = jax.lax.scan(body, jnp.float32(0), (ks, js))
+        return s
+
+    js = jnp.arange(K, dtype=jnp.int32)
+    ks0 = keys_for_rep(0)
+    t0 = time.time()
+    c = jax.jit(prog).lower(*datas, ks0, js).compile()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    float(c(*datas, ks0, js))
+    first_s = time.time() - t0
+    print(f"[bench] {tag}: compile {compile_s:.1f}s, "
+          f"first run+fetch {first_s:.1f}s", file=sys.stderr)
+    vals = []
+    for r in range(reps):
+        ks = keys_for_rep(r)
+        t0 = time.time()
+        float(c(*datas, ks, js))
+        dt = time.time() - t0
+        vals.append(K * n_fields_iter / dt)
+        print(f"[bench] {tag} rep {r}: {dt*1e3:.1f}ms for "
+              f"{K}x{n_fields_iter} fields -> {vals[-1]:.1f} fields/s",
+              file=sys.stderr)
+    st = _rep_stats(vals)
+    st["k_iters"] = K
+    st["compile_s"] = round(compile_s, 1)
+    st["first_run_s"] = round(first_s, 1)
+    print(f"[bench] {tag}: {st['median']:.1f} fields/s median "
+          f"[{st['min']:.1f}..{st['max']:.1f}] over {reps} reps",
+          file=sys.stderr)
+    return st
+
+
 def baseline_fields_per_sec(config: str = "ep") -> float:
     """Single-thread scalar C++ cost class for a BASELINE.md golden config:
     ep (3), composite (1), broadcast (2), dub2 (4)."""
@@ -95,23 +193,16 @@ def hd1080i_fields_per_sec() -> dict:
     par = fieldno & 1
     key = jax.random.PRNGKey(7)
 
-    @jax.jit
-    def run(rgb, fno, par, k):
+    def chain(rgb, fno, par, k):
         out = fused_yiq.composite_layer_rgb_fused(rgb, fno, par, k, cfg=cfg)
-        return out.astype(jnp.int32).sum()
+        return out.astype(jnp.float32).sum()
 
-    c = run.lower(rgb, fieldno, par, key).compile()
-    int(c(rgb, fieldno, par, key))
-    vals = []
-    for _ in range(5):
-        t0 = time.time()
-        sums = [c(rgb, fieldno + j, par, key) for j in range(4)]
-        _ = [int(s) for s in sums]
-        vals.append(4 * B_HD / (time.time() - t0))
-    st = _rep_stats(vals)
-    print(f"[bench] 1080i gen-2 fused: {st['median']:.0f} fields/s median "
-          f"[{st['min']:.0f}..{st['max']:.0f}] "
-          f"({1e9/st['median']/(L_HD*W_HD):.2f} ns/px)", file=sys.stderr)
+    st = _scan_rate(
+        "1080i gen-2 fused", chain, (rgb, fieldno, par), B_HD,
+        lambda r: jax.random.split(jax.random.PRNGKey(100 + r), 16),
+        n_vary=1, K=16)
+    print(f"[bench] 1080i: {1e9/st['median']/(L_HD*W_HD):.2f} ns/px",
+          file=sys.stderr)
     return st
 
 
@@ -132,30 +223,19 @@ def _gen2_config_row(tag: str, cfg, seed: int, reps: int = 5,
                       jnp.int32)
     fieldno = jnp.arange(BATCH, dtype=jnp.int32)
     par = fieldno & 1
-    key = jax.random.PRNGKey(seed + 1)
 
-    @jax.jit
-    def run(rgb, fno, par, k):
+    def chain(rgb, fno, par, k):
         out = yiq.composite_layer_rgb_auto(rgb, fno, par, k, cfg=cfg)
         if dub2:
             k2 = jax.random.fold_in(k, 1)
             out = yiq.composite_layer_rgb_auto(
                 out.astype(jnp.int32), fno, par, k2, cfg=cfg)
-        return out.astype(jnp.int32).sum()
+        return out.astype(jnp.float32).sum()
 
-    c = run.lower(rgb, fieldno, par, key).compile()
-    int(c(rgb, fieldno, par, key))
-    K = 8
-    vals = []
-    for _ in range(reps):
-        t0 = time.time()
-        sums = [c(rgb, fieldno + j, par, key) for j in range(K)]
-        _ = [int(s) for s in sums]
-        vals.append(K * BATCH / (time.time() - t0))
-    st = _rep_stats(vals)
-    print(f"[bench] {tag} 480i: {st['median']:.0f} fields/s median "
-          f"[{st['min']:.0f}..{st['max']:.0f}]", file=sys.stderr)
-    return st
+    return _scan_rate(
+        f"{tag} 480i", chain, (rgb, fieldno, par), BATCH,
+        lambda r: jax.random.split(jax.random.PRNGKey(seed + 50 + r), 32),
+        n_vary=1, K=32, reps=reps)
 
 
 def composite_fields_per_sec() -> dict:
@@ -212,28 +292,17 @@ def gen1_fields_per_sec() -> dict:
     v = jnp.asarray(rng.integers(16, 241, (BATCH, LINES, W // 2)), jnp.int32)
     fieldno = jnp.arange(BATCH, dtype=jnp.int32)
     par = fieldno & 1
-    keys = jax.random.split(jax.random.PRNGKey(4), 16)
 
-    @jax.jit
-    def run(y, u, v, fno, par, k):
+    def chain(y, u, v, fno, par, k):
         yo, uo, vo = yuv422.composite_video_process_auto(
             y, u, v, fno, par, k, cfg=cfg)
-        return (yo.astype(jnp.int32).sum() + uo.astype(jnp.int32).sum()
-                + vo.astype(jnp.int32).sum())
+        return (yo.astype(jnp.float32).sum() + uo.astype(jnp.float32).sum()
+                + vo.astype(jnp.float32).sum())
 
-    c = run.lower(y, u, v, fieldno, par, keys[0]).compile()
-    int(c(y, u, v, fieldno, par, keys[0]))
-    K = 8
-    vals = []
-    for _ in range(5):
-        t0 = time.time()
-        sums = [c(y, u, v, fieldno, par, keys[k % 16]) for k in range(K)]
-        _ = [int(s) for s in sums]
-        vals.append(K * BATCH / (time.time() - t0))
-    st = _rep_stats(vals)
-    print(f"[bench] gen-1 480i fused: {st['median']:.0f} fields/s median "
-          f"[{st['min']:.0f}..{st['max']:.0f}]", file=sys.stderr)
-    return st
+    return _scan_rate(
+        "gen-1 480i fused", chain, (y, u, v, fieldno, par), BATCH,
+        lambda r: jax.random.split(jax.random.PRNGKey(200 + r), 32),
+        n_vary=3, K=32)
 
 
 def tpu_fields_per_sec() -> dict:
@@ -261,53 +330,24 @@ def tpu_fields_per_sec() -> dict:
     rgb = jnp.asarray(rng.integers(0, 256, size=(BATCH, LINES, W, 3)), jnp.int32)
     fieldno = jnp.arange(BATCH, dtype=jnp.int32)
     parity = (jnp.arange(BATCH, dtype=jnp.int32) & 1)
-    key = jax.random.PRNGKey(0)
 
     # Reduce the full output on-device to a scalar: forces every output
     # element to be computed (no dead-code elimination) while keeping D2H to
     # 4 bytes — this dev environment tunnels the TPU, so bulk D2H bandwidth
-    # is not representative of production hosts.
-    keys = jax.random.split(key, 16)
-
-    @jax.jit
+    # is not representative of production hosts. AOT lower().compile()
+    # throughout: the lazy jit-dispatch path defers the remote program load
+    # to the first fetch, pathological on tunneled hosts (50-400s;
+    # round-3 stall diagnosis). NO persistent compile cache (see above).
     def chain_sum(rgb_in, fno, par, k):
         out = yiq.composite_layer_rgb_auto(rgb_in, fno, par, k, cfg=cfg)
-        return out.astype(jnp.int32).sum()
+        return out.astype(jnp.float32).sum()
 
-    # ONE program, AOT-compiled: the lazy jit-dispatch path defers the
-    # remote program load to the first fetch, which is pathological on
-    # tunneled hosts (50-400s; round-3 stall diagnosis) — r02's "278.7s
-    # compile" was mostly that stall, not compile.
-    t0 = time.time()
-    compiled = chain_sum.lower(rgb, fieldno, parity, keys[0]).compile()
-    _TIMES["compile_s"] = round(time.time() - t0, 1)
-    print(f"[bench] compile: {_TIMES['compile_s']}s", file=sys.stderr)
-
-    def run_one(k):
-        return compiled(rgb, fieldno, parity, keys[k])
-
-    t0 = time.time()
-    int(run_one(0))
-    _TIMES["first_run_s"] = round(time.time() - t0, 1)
-    print(f"[bench] first run+fetch: {_TIMES['first_run_s']}s",
-          file=sys.stderr)
-
-    # sustained throughput: K batches dispatched back-to-back (async) so the
-    # per-call RPC latency pipelines away, as in the streaming pipelines
-    K = 8
-    vals = []
-    for r in range(REPS):
-        t0 = time.time()
-        sums = [run_one(k % 16) for k in range(K)]
-        _ = [int(s) for s in sums]
-        dt = time.time() - t0
-        vals.append(K * BATCH / dt)
-        print(f"[bench] rep {r}: {dt*1e3:.1f}ms for {K} batches -> "
-              f"{K*BATCH/dt:.1f} fields/s sustained", file=sys.stderr)
-    st = _rep_stats(vals)
-    print(f"[bench] headline: {st['median']:.1f} fields/s median "
-          f"[{st['min']:.1f}..{st['max']:.1f}] over {st['reps']} reps",
-          file=sys.stderr)
+    st = _scan_rate(
+        "gen-2 480i vhs-ep headline", chain_sum, (rgb, fieldno, parity),
+        BATCH, lambda r: jax.random.split(jax.random.PRNGKey(r), 32),
+        n_vary=1, K=32)
+    _TIMES["compile_s"] = st["compile_s"]
+    _TIMES["first_run_s"] = st["first_run_s"]
     return st
 
 
@@ -689,7 +729,8 @@ def _run_inner(flag: str, timeout_s: int) -> dict:
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     if mode == "--device-inner":
-        out = {"tpu_fps": tpu_fields_per_sec()}
+        out = {"dispatch_floor_ms": dispatch_floor_ms(),
+               "tpu_fps": tpu_fields_per_sec()}
         out.update(_TIMES)
         for key, fn in (("hd_fps", hd1080i_fields_per_sec),
                         ("audio_rt", audio_realtime_x),
@@ -752,6 +793,8 @@ def main():
         result["value"] = round(tpu_fps, 2)
         result["value_stats"] = dev["tpu_fps"]
         result["vs_baseline"] = round(tpu_fps / base_fps, 2)
+        if "dispatch_floor_ms" in dev:
+            _put(result, "dispatch_floor_ms", dev["dispatch_floor_ms"])
         for src_key, out_key in (
                 ("hd_fps", "hd1080i_fields_per_sec"),
                 ("audio_rt", "audio_realtime_x"),

@@ -378,6 +378,13 @@ def head_switching_padded(
     scanline. Rows/cols outside the window (including the padding) pass
     through untouched; rotation only permutes integral sample values, so
     the result is bit-identical to the staged int path.
+
+    The window extract and realign ride the MXU as one-hot row-selection
+    contractions: the batch-varying window start made the former
+    vmap(dynamic_slice/dynamic_update_slice) lower to gather/scatter,
+    measured 16.3 us/field on v5e vs 6.7 for the one-hot form (a 0/1
+    selection matmul at HIGHEST precision is exact — each output row is
+    one plane row plus exact +0.0 terms).
     """
     b, lp, wp = y_pad.shape
     twidth = w + w // 10
@@ -414,18 +421,31 @@ def head_switching_padded(
 
     fill_v = jnp.asarray(fill, dtype)
 
-    def one_field(yf, sf, start):
-        zero = jnp.zeros((), start.dtype)
-        ywin = jax.lax.dynamic_slice(yf, (start, zero), (win, wp))
-        body = ywin[:, :w]
-        padded = jnp.concatenate(
-            [body, jnp.full((win, twidth - w), fill_v, dtype)], axis=1)
-        rotated = roll_rows(padded, sf)[..., :w]
-        rotated = jnp.where(sf[:, None] != 0, rotated, body)
-        new = jnp.concatenate([rotated, ywin[:, w:]], axis=1)
-        return jax.lax.dynamic_update_slice(yf, new, (start, zero))
+    # one-hot row-selection matrix [B, win, Lp]: window row k of field b is
+    # global row w0[b]+k — used for both the extract (contract Lp) and the
+    # realign (contract win), so neither needs a gather/scatter
+    rows = jnp.arange(lp, dtype=jnp.int32)
+    sel = (w0[:, None, None]
+           + jnp.arange(win, dtype=jnp.int32)[None, :, None]
+           == rows[None, None, :]).astype(dtype)
+    high = jax.lax.Precision.HIGHEST
 
-    return jax.vmap(one_field)(y_pad, shifts, w0)
+    ywin = jax.lax.dot_general(
+        sel, y_pad, (((2,), (1,)), ((0,), (0,))),
+        precision=high)                                          # [B,win,Wp]
+    body = ywin[:, :, :w]
+    padded = jnp.concatenate(
+        [body, jnp.full((b, win, twidth - w), fill_v, dtype)], axis=2)
+    rotated = roll_rows(padded, shifts)[..., :w]
+    rotated = jnp.where(shifts[..., None] != 0, rotated, body)
+    new = jnp.concatenate([rotated, ywin[:, :, w:]], axis=2)     # [B,win,Wp]
+
+    aligned = jax.lax.dot_general(
+        sel, new, (((1,), (1,)), ((0,), (0,))),
+        precision=high)                                          # [B,Lp,Wp]
+    in_win = ((rows[None, :] >= w0[:, None])
+              & (rows[None, :] < w0[:, None] + win))             # [B,Lp]
+    return jnp.where(in_win[..., None], aligned, y_pad)
 
 
 def chroma_dropout_stage(i, q, keys, loss: int):
