@@ -52,6 +52,13 @@ BLOCK = 128
 _SINGLE_TILE_BUDGET = 200_000
 _TILE_BUDGET = 130_000
 
+# The budgets above were tuned against Mosaic's default 16MB scoped-VMEM
+# limit, with ~0.1% headroom at SD — surrounding-program layout changes
+# (e.g. the head-switch one-hot rewrite) shifted operand copies enough to
+# OOM by 16KB on a real v5e. Raise the scoped limit explicitly: v5e cores
+# have 128MB of VMEM and these kernels dominate their programs.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 # ----------------------------------------------------------- kernel helpers
 
@@ -624,6 +631,7 @@ def _fused_stage_a(ctx: _FusedCtx):
                   ctx.spec_nk, ctx.spec_row, *ctx.spec_consts],
         out_specs=ctx.specs3(),
         interpret=ctx.interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(ctx.rf, ctx.gf, ctx.bf, ctx.xi_col, ctx.keys_ab, ctx.row0_arr,
       *ctx.consts)
 
@@ -640,6 +648,7 @@ def _fused_stage_b_single(ctx: _FusedCtx, y_enc):
                   ctx.spec_col, *ctx.spec_consts],
         out_specs=(ctx.specs3(),) * 3,
         interpret=ctx.interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(y_enc, ctx.xi_col, ctx.keys_ab, ctx.sincos_p, ctx.keep_p, *ctx.consts)
 
 
@@ -655,6 +664,7 @@ def _fused_stage_b1(ctx: _FusedCtx, y_enc):
                   ctx.spec_sc, *ctx.spec_consts],
         out_specs=(ctx.specs3(),) * 3,
         interpret=ctx.interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(y_enc, ctx.xi_col, ctx.keys_ab, ctx.row0_arr, ctx.sincos_p,
       *ctx.consts)
 
@@ -684,6 +694,7 @@ def _fused_stage_b2(ctx: _FusedCtx, y2, i2, q2):
                   ctx.spec_col, *ctx.spec_consts],
         out_specs=(ctx.specs3(),) * 3,
         interpret=ctx.interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(y2, i2, q2, ctx.xi_col, ctx.keep_p, *ctx.consts)
 
 

@@ -45,6 +45,11 @@ from cvsim_tpu.ops.noise import (
 from cvsim_tpu.ops.phase import scanline_phase_xi
 
 BLOCK = 128
+
+# Scoped-VMEM limit shared with fused_yiq (see its rationale): the
+# default 16MB Mosaic budget left <0.1% headroom at SD and OOMed when
+# surrounding-program layouts shifted; v5e cores carry 128MB of VMEM.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 # VMEM tiling thresholds (luma samples per tile); see fused_yiq.py
 _SINGLE_TILE_BUDGET = 200_000
 _TILE_BUDGET = 130_000
@@ -508,6 +513,7 @@ def composite_video_process_fused(
                   spec_tt, spec_d, spec_tt, spec_d3, spec_vt, spec_eu],
         out_specs=spec_full,
         interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
     )(yf, uf, vf, xi_col, keys_ab, tts, ds, tt3s, d3s, vts, eu)
 
     if cfg.vhs_head_switching:
@@ -536,6 +542,7 @@ def composite_video_process_fused(
                       spec_ed, spec_eu],
             out_specs=(spec_full, spec_half, spec_half),
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(y_enc, xi_col, keys_ab, sincos_p, keep_p, tts, ds, tt3s, d3s,
           vts, ed, eu)
     else:
@@ -548,6 +555,7 @@ def composite_video_process_fused(
                       spec_tt, spec_d, spec_tt, spec_d3, spec_vt, spec_ed],
             out_specs=(spec_full, spec_half, spec_half),
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(y_enc, xi_col, keys_ab, sincos_p, tts, ds, tt3s, d3s, vts, ed)
         if do_vblend:
             xw2 = jnp.arange(wp2)[None, None, :]
@@ -575,6 +583,7 @@ def composite_video_process_fused(
                       spec_ed, spec_eu],
             out_specs=(spec_full, spec_half, spec_half),
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(y2, u2, v2, xi_col, keep_p, tts, ds, tt3s, d3s, vts, ed, eu)
 
     return (y_o[:, :l, :w].astype(jnp.int32),

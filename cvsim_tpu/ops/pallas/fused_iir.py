@@ -29,6 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 from cvsim_tpu.ops.blocked_iir import _decay_consts
 
 BLOCK = 128
+
+# Scoped-VMEM limit shared with fused_yiq (see its rationale): the
+# default 16MB Mosaic budget left <0.1% headroom at SD and OOMed when
+# surrounding-program layouts shifted; v5e cores carry 128MB of VMEM.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 ROW_TILE = 256
 
 
@@ -118,6 +123,7 @@ def fused_iir(x, *, alphas: tuple, y0s: tuple, mode: str = "none",
         out_specs=pl.BlockSpec((tile, wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(xf, tts, ds)
 
     out = out[:rows, :w] if (pad_rows or wp != w) else out
