@@ -513,7 +513,7 @@ def composite_video_process_fused(
                   spec_tt, spec_d, spec_tt, spec_d3, spec_vt, spec_eu],
         out_specs=spec_full,
         interpret=interpret,
-            compiler_params=_COMPILER_PARAMS,
+        compiler_params=_COMPILER_PARAMS,
     )(yf, uf, vf, xi_col, keys_ab, tts, ds, tt3s, d3s, vts, eu)
 
     if cfg.vhs_head_switching:
