@@ -45,19 +45,24 @@ from cvsim_tpu.ops.noise import (
 from cvsim_tpu.ops.phase import scanline_phase_xi
 
 BLOCK = 128
-# VMEM thresholds (samples per tile), empirically bounded on v5e: the
-# single-tile kernel B holds ~12 live buffers (SD 184k samples OK); the
-# tiled kernel B1 holds ~18 (128-row x 1920 tiles = 245k OOMed by 1.9MB).
+# VMEM thresholds (samples per tile). The single-tile kernel B costs
+# ~20x the tile's f32 bytes (12 live buffers + the double-buffered operand
+# and 3 output blocks); the tiled kernel B1 ~26x (18 live). With the 100MB
+# scoped limit below those bound tiles at ~1.22M / ~0.96M samples; the
+# budgets sit under that with headroom. 1080i (540x1920 = 1.037M) now runs
+# the SINGLE-TILE kernel — in-kernel vblend, no b1/vblend/b2 XLA hop —
+# measured 2363 vs 1403 fields/s tiled on v5e (+68%, bit-identical; the
+# trade is a one-time remote-compile cost of ~4 min for the HD kernel).
 # Tests shrink _TILE_BUDGET to exercise the tiled path on small shapes.
-_SINGLE_TILE_BUDGET = 200_000
-_TILE_BUDGET = 130_000
+_SINGLE_TILE_BUDGET = 1_050_000
+_TILE_BUDGET = 525_000
 
-# The budgets above were tuned against Mosaic's default 16MB scoped-VMEM
-# limit, with ~0.1% headroom at SD — surrounding-program layout changes
-# (e.g. the head-switch one-hot rewrite) shifted operand copies enough to
-# OOM by 16KB on a real v5e. Raise the scoped limit explicitly: v5e cores
-# have 128MB of VMEM and these kernels dominate their programs.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+# The kernels were originally tuned against Mosaic's default 16MB
+# scoped-VMEM limit with ~0.1% headroom at SD — surrounding-program layout
+# changes (e.g. the head-switch one-hot rewrite) shifted operand copies
+# enough to OOM by 16KB on a real v5e. Raise the scoped limit explicitly:
+# v5e cores have 128MB of VMEM and these kernels dominate their programs.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 # ----------------------------------------------------------- kernel helpers
