@@ -627,13 +627,17 @@ def tpu_gated_tests_row(result: dict) -> None:
     once per round and record pass/fail in the artifact, so the hardware
     path can't silently rot between rounds (VERDICT r3 weak #6). CPU CI
     skips these; only the bench rig has the chip."""
+    t0 = time.time()
     r = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_cli_tpu.py", "-q",
          "--tb=line"],
         cwd=REPO, env=dict(os.environ, CVSIM_TPU_TESTS="1"),
-        capture_output=True, text=True, timeout=2400)
+        capture_output=True, text=True, timeout=3600)
+    # the suite measured 2450s on a healthy tunnel (remote compiles
+    # dominate); the old 2400s watchdog was under its own steady state
     tail = (r.stdout.strip().splitlines() or [""])[-1]
-    result["tpu_gated_tests"] = {"rc": r.returncode, "summary": tail}
+    result["tpu_gated_tests"] = {"rc": r.returncode, "summary": tail,
+                                 "wall_s": round(time.time() - t0, 1)}
     print(f"[bench] tpu-gated tests: rc={r.returncode} {tail}",
           file=sys.stderr)
     if r.returncode != 0:
