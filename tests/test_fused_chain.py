@@ -231,3 +231,28 @@ def test_gen1_tiled_fused_matches_xla():
                 assert_chain_equal(x1, x2, err_msg=name)
     finally:
         fused_yuv._TILE_BUDGET = old
+
+
+def test_hd_shape_picks_single_tile():
+    """1080i (540x1888 -> wp 1920, 1.037M samples) must take the SINGLE-tile
+    kernel B — in-kernel vblend, no b1/vblend/b2 XLA hop. Measured 2363 vs
+    1403 fields/s on v5e (round 4); this pins the dispatch decision so a
+    budget edit can't silently demote HD back to the tiled path. SD stays
+    single-tile too; a 4K-class raster still tiles."""
+    from cvsim_tpu.models import fused_yiq
+
+    def tile_meta(l, w):
+        cfg = CONFIGS["vhs-ep-stochastic"]
+        rgb = jnp.zeros((1, l, w, 3), jnp.int32)
+        ctx = fused_yiq._fused_prepare(
+            cfg, rgb, jnp.array([0], jnp.int32), jnp.array([0], jnp.int32),
+            jax.random.PRNGKey(0), row0=0, noise_l=l, interpret=True,
+            sharded=False)
+        return ctx.single_tile, ctx.tl
+
+    single, tl = tile_meta(540, 1888)          # 1080i field
+    assert single and tl == 540
+    single, tl = tile_meta(240, 704)           # 480i field
+    assert single and tl == 240
+    single, tl = tile_meta(1080, 3840)         # 4K-class: must tile
+    assert not single and tl < 1080
