@@ -484,7 +484,8 @@ def e2e_fields_per_sec() -> dict:
         cmd = [sys.executable, "-m", "cvsim_tpu", "to-composite",
                "-i", clip, "-o", out, "-vhs", "-vhs-speed", "ep"]
         runs = {"overall": [], "startup_s": [], "first_fetch_s": [],
-                "steady": []}
+                "steady": [], "startup_interp_s": [],
+                "startup_jax_import_s": [], "startup_backend_s": []}
         for rep in range(3):
             t0 = time.time()
             r = subprocess.run(cmd, check=True, cwd=REPO, env=env,
@@ -500,6 +501,9 @@ def e2e_fields_per_sec() -> dict:
                 runs["startup_s"].append(-1.0)
                 runs["first_fetch_s"].append(-1.0)
                 runs["steady"].append(600 / wall)
+                runs["startup_interp_s"].append(-1.0)
+                runs["startup_jax_import_s"].append(-1.0)
+                runs["startup_backend_s"].append(-1.0)
                 continue
             fields = int(ph["run_video_done"]["fields"])
             first_gop = int(ph["first_fetch_done"]["fields"])
@@ -507,6 +511,16 @@ def e2e_fields_per_sec() -> dict:
                          - ph["first_fetch_done"]["t"])
             runs["overall"].append(fields / wall)
             runs["startup_s"].append(ph["run_video_start"]["proc_age"])
+            # fixed per-process startup breakdown (VERDICT r3 #6): how much
+            # of startup_s is interpreter+cli import vs jax import vs the
+            # tunnel's backend handshake (the last runs concurrently with
+            # demux; proc_age values, not durations)
+            runs["startup_interp_s"].append(
+                ph.get("cli_entry", {}).get("proc_age", -1.0))
+            runs["startup_jax_import_s"].append(
+                ph.get("jax_imported", {}).get("proc_age", -1.0))
+            runs["startup_backend_s"].append(
+                ph.get("backend_ready", {}).get("proc_age", -1.0))
             runs["first_fetch_s"].append(ph["first_fetch_done"]["t"]
                                          - ph["first_dispatch"]["t"])
             runs["steady"].append((fields - first_gop) / steady_dt
@@ -865,6 +879,10 @@ def _run_e2e(result, base_fps):
     e2e = e2e_fields_per_sec()
     _put(result, "e2e_fields_per_sec", e2e["overall"])
     _put(result, "e2e_startup_s", e2e["startup_s"])
+    for k in ("startup_interp_s", "startup_jax_import_s",
+              "startup_backend_s"):
+        if e2e.get(k, {}).get("reps"):
+            _put(result, f"e2e_{k}", e2e[k])
     _put(result, "e2e_first_fetch_s", e2e["first_fetch_s"])
     _put(result, "e2e_steady_fields_per_sec", e2e["steady"])
     result["link_mb_per_sec"] = round(link, 1)

@@ -32,6 +32,9 @@ def _enable_compile_cache():
     """
     import jax
 
+    from cvsim_tpu.utils.log import phase
+
+    phase("jax_imported")
     path = os.environ.get("CVSIM_XLA_CACHE")
     if path is None:
         if "axon" in os.environ.get("JAX_PLATFORMS", ""):
@@ -69,6 +72,9 @@ def _prime_transfer_channel():
 
             x = _jax.device_put(_np.zeros(4096, _np.uint8))
             _jax.device_get(x)
+            from cvsim_tpu.utils.log import phase
+
+            phase("backend_ready")
         except Exception:
             pass   # priming is best-effort; real transfers will pay instead
 
@@ -411,6 +417,9 @@ def main(argv=None):
         print(f"unknown command '{cmd}'", file=sys.stderr)
         return 1
     if cmd in DEVICE_COMMANDS:
+        from cvsim_tpu.utils.log import phase
+
+        phase("cli_entry")          # interpreter + cli imports, pre-jax
         _enable_compile_cache()
         _prime_transfer_channel()
     try:

@@ -73,22 +73,6 @@ def _bkey_scan(y, u, v, fy, fu, fv, level: int, valid):
     return (oy, ou, ov), (fy, fu, fv)
 
 
-def _proc_age() -> float:
-    """Seconds since this process started (/proc; 0.0 where unavailable).
-    Lets phase lines report true cost-from-exec including interpreter and
-    jax import, which time.time() deltas inside the process cannot see."""
-    try:
-        with open("/proc/self/stat") as f:
-            fields = f.read().rsplit(")", 1)[1].split()
-        start_ticks = int(fields[19])        # starttime, field 22 overall
-        with open("/proc/uptime") as f:
-            uptime = float(f.read().split()[0])
-        hz = os.sysconf("SC_CLK_TCK")
-        return uptime - start_ticks / hz
-    except (OSError, ValueError, IndexError):
-        return 0.0
-
-
 def _interleave_np(top: np.ndarray, bottom: np.ndarray) -> np.ndarray:
     out = np.empty((top.shape[0] * 2, top.shape[1]), top.dtype)
     out[0::2] = top
@@ -561,17 +545,10 @@ class CompositePipeline:
         wc = w // 2
         fetch_pool = ThreadPoolExecutor(2, thread_name_prefix="cvsim-d2h")
         trace = os.environ.get("CVSIM_TIMING") == "1"
-        phases = os.environ.get("CVSIM_PHASES") == "1"
-
-        def phase(name, **kv):
-            """Machine-readable phase line (CVSIM_PHASES=1): bench.py reads
-            these to report startup/first-fetch/steady separately instead of
-            differencing two subprocess walls (round-2 weak #1)."""
-            if phases:
-                extra = "".join(f" {k}={v}" for k, v in kv.items())
-                print(f"[phase] {name} t={time.time():.3f}"
-                      f" proc_age={_proc_age():.3f}{extra}",
-                      file=sys.stderr, flush=True)
+        # Machine-readable phase lines (CVSIM_PHASES=1): bench.py reads
+        # these to report startup/first-fetch/steady separately instead of
+        # differencing two subprocess walls (round-2 weak #1).
+        from cvsim_tpu.utils.log import phase
 
         phase("run_video_start")
 

@@ -54,6 +54,35 @@ class Progress:
               f"({self.count / max(1e-9, dt):.1f}/s)", file=self.stream)
 
 
+def proc_age() -> float:
+    """Seconds since this process started (/proc; 0.0 where unavailable).
+    Lets phase lines report true cost-from-exec including interpreter and
+    jax import, which time.time() deltas inside the process cannot see."""
+    try:
+        with open("/proc/self/stat") as f:
+            fields = f.read().rsplit(")", 1)[1].split()
+        start_ticks = int(fields[19])        # starttime, field 22 overall
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        hz = os.sysconf("SC_CLK_TCK")
+        return uptime - start_ticks / hz
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def phase(name: str, **kv) -> None:
+    """Machine-readable phase line (CVSIM_PHASES=1): bench.py reads these
+    to report startup/first-fetch/steady separately instead of differencing
+    two subprocess walls. proc_age makes interpreter+import cost visible —
+    one-shot CLI cost on a tunneled dev host is dominated by fixed
+    per-process init, and this is the measured breakdown of it."""
+    if os.environ.get("CVSIM_PHASES") == "1":
+        extra = "".join(f" {k}={v}" for k, v in kv.items())
+        print(f"[phase] {name} t={time.time():.3f}"
+              f" proc_age={proc_age():.3f}{extra}",
+              file=sys.stderr, flush=True)
+
+
 @contextlib.contextmanager
 def profile_trace(out_dir: str | None = None):
     """Optional jax.profiler trace: set CVSIM_PROFILE=/path or pass out_dir."""
