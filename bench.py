@@ -694,7 +694,9 @@ def e2e_daemon_fields_per_sec() -> float:
                  "to-composite", "-i", clip, "-o", out,
                  "-vhs", "-vhs-speed", "ep"],
                 check=True, cwd=REPO, stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL, timeout=900)
+                # rep 0 eats the daemon's first tunnel contact, which has
+                # been measured at ~600s in degraded-weather episodes
+                stderr=subprocess.DEVNULL, timeout=1500)
             dt = time.time() - t0
             rate = 600 / dt
             print(f"[bench] e2e daemon rep {rep}: {dt:.1f}s "
@@ -780,7 +782,12 @@ def main():
     outage = None
     if mode in ("both", "--device", "--e2e"):
         try:
-            rate = _run_inner("--probe-inner", 300)["rt_mb_per_sec"]
+            # 900s watchdog: first tunnel contact of a process has been
+            # measured at 380-590s during degraded-weather episodes where
+            # the link is otherwise healthy (16+ MB/s once up) — a 300s
+            # gate misread those as outages. A hard outage still resolves
+            # in 15 min instead of the ~80 min section-watchdog burn.
+            rate = _run_inner("--probe-inner", 900)["rt_mb_per_sec"]
             result["tunnel_probe_mb_per_sec"] = round(rate, 2)
             print(f"[bench] tunnel probe: {rate:.1f} MB/s", file=sys.stderr)
             if rate < 1.5:
@@ -872,7 +879,7 @@ def main():
 
 
 def _run_e2e(result, base_fps):
-    link = _run_inner("--link-inner", 300)["link_mb_per_sec"]
+    link = _run_inner("--link-inner", 900)["link_mb_per_sec"]
     print(f"[bench] link: {link:.1f} MB/s aggregate "
           f"(wire ceiling ~{link/0.59:.0f} fields/s at 0.59 MB/field)",
           file=sys.stderr)
