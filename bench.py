@@ -158,14 +158,16 @@ def baseline_fields_per_sec(config: str = "ep") -> float:
     exe = os.path.join(REPO, ".bench_scalar_baseline")
     if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
         subprocess.run(["g++", "-O2", "-o", exe, src], check=True)
-    # Median of 3 runs: single-run host CPU timing wobbles ~10%, which
-    # showed up as vs_baseline noise across rounds.
+    # BEST of 3 runs: host CPU weather deflates the scalar baseline (47.5
+    # median measured on a loaded/noisy afternoon vs 72.0 quiet), which
+    # would INFLATE vs_baseline. Give the reference cost class its best
+    # shot; our own device rows stay medians.
     runs = []
     for _ in range(3):
         out = subprocess.run([exe, "60", str(W), str(LINES), config],
                              capture_output=True, text=True, check=True)
         runs.append(float(json.loads(out.stdout.strip())["fields_per_sec"]))
-    fps = sorted(runs)[1]
+    fps = max(runs)
     print(f"[bench] scalar C++ baseline [{config}]: {fps:.1f} fields/s "
           f"({fps/59.94:.2f}x realtime; runs {[round(r,1) for r in runs]})",
           file=sys.stderr)
