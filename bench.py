@@ -653,10 +653,21 @@ def ref_binary_rows(result: dict) -> None:
     """Actual-reference-binary baseline anchors (VERDICT r3 #8): the three
     modern-API reference tools build unmodified against this host's FFmpeg
     5.x (golden/ref_extract.binary_exe); time each on a 120-frame 480i y4m
-    clip next to its cvsim twin, wall-clock one-shot, frames/s. Host-only
-    (the cvsim twins are jax-free numpy paths), immune to tunnel weather.
-    Keys: {tool}_ref_binary_frames_per_sec / {tool}_e2e_frames_per_sec.
-    These are 1:1-frame tools, so the unit is frames (not fields)."""
+    clip next to its cvsim twin, wall-clock one-shot. Host-only (the cvsim
+    twins are jax-free native/numpy paths), immune to tunnel weather.
+
+    Rates are OUTPUT frames per wall second — frames actually produced and
+    encoded, counted by decoding each side's container once. For the 1:1
+    tools (vhsled, filmac) that equals input frames; for frameblend the
+    two sides do DIFFERENT amounts of work on the same clip: the reference
+    drops its ~30-output-frame EOF lookahead tail under FFmpeg 5.x (the
+    decoder flush clears pts to NOPTS, tripping the `< -1000` break before
+    the buffered tail renders — frameblend.cpp:928-931; pinned in
+    tests/test_ref_binary_e2e.py), while cvsim renders the full duration. Normalizing by output
+    frames charges each side for the frames it actually encoded;
+    {tool}_*_out_frames records the counts so the artifact shows the
+    divergence. Keys: {tool}_ref_binary_frames_per_sec /
+    {tool}_e2e_frames_per_sec (+ _out_frames each)."""
     import tempfile
     import shutil as _sh
 
@@ -669,6 +680,14 @@ def ref_binary_rows(result: dict) -> None:
         print("[bench] ref-binary rows skipped (no reference tree / FFmpeg "
               "dev libs / backend)", file=sys.stderr)
         return
+
+    def count_frames(path):
+        r, proc = ffmpeg_pipe.open_video_reader(path)
+        n = sum(1 for _ in r)
+        proc.stdout.close()
+        proc.wait()
+        return n
+
     tmp = tempfile.mkdtemp(prefix="cvsim_bench_ref_")
     try:
         clip = os.path.join(tmp, "in120.y4m")
@@ -679,14 +698,9 @@ def ref_binary_rows(result: dict) -> None:
                 ("filmac", ["filmac"])):
             exe = ref_extract.binary_exe(tool)
             short = tool.replace("ffmpeg_", "")
-            ref_vals, cv_vals = [], []
-            for _ in range(3):
-                out = os.path.join(tmp, "ref_out.mkv")
-                t0 = time.time()
-                subprocess.run(
-                    [exe, "-i", clip, "-o", out] + cvs_args[1:],
-                    check=True, capture_output=True, timeout=300)
-                ref_vals.append(120 / (time.time() - t0))
+            ref_walls, cv_walls = [], []
+            ref_out = os.path.join(tmp, "ref_out.mkv")
+            cv_out = os.path.join(tmp, "cv_out.mkv")
             # -S + explicit sys.path: these tools are jax-free host
             # processes (pinned by tests/test_cli.py), but this rig's
             # sitecustomize imports jax into EVERY interpreter (~2.1 s) —
@@ -697,20 +711,30 @@ def ref_binary_rows(result: dict) -> None:
             boot = (f"import sys; sys.path[:0] = [{site_dir!r}, {REPO!r}]; "
                     "from cvsim_tpu.cli.main import main; "
                     "sys.exit(main(sys.argv[1:]))")
-            for _ in range(3):
-                out = os.path.join(tmp, "cv_out.mkv")
+            # interleave the two sides so machine-load drift (1-CPU host)
+            # hits both equally
+            for _ in range(5):
+                t0 = time.time()
+                subprocess.run(
+                    [exe, "-i", clip, "-o", ref_out] + cvs_args[1:],
+                    check=True, capture_output=True, timeout=300)
+                ref_walls.append(time.time() - t0)
                 t0 = time.time()
                 subprocess.run(
                     [sys.executable, "-S", "-c", boot] + cvs_args
-                    + ["-i", clip, "-o", out],
+                    + ["-i", clip, "-o", cv_out],
                     check=True, cwd=REPO, capture_output=True, timeout=300)
-                cv_vals.append(120 / (time.time() - t0))
-            rst, cst = _rep_stats(ref_vals), _rep_stats(cv_vals)
+                cv_walls.append(time.time() - t0)
+            ref_n, cv_n = count_frames(ref_out), count_frames(cv_out)
+            rst = _rep_stats([ref_n / w for w in ref_walls])
+            cst = _rep_stats([cv_n / w for w in cv_walls])
             _put(result, f"{short}_ref_binary_frames_per_sec", rst)
             _put(result, f"{short}_e2e_frames_per_sec", cst)
+            result[f"{short}_ref_binary_out_frames"] = ref_n
+            result[f"{short}_e2e_out_frames"] = cv_n
             print(f"[bench] {short}: reference binary "
-                  f"{rst['median']:.1f} frames/s, cvsim "
-                  f"{cst['median']:.1f} frames/s "
+                  f"{rst['median']:.1f} out-frames/s ({ref_n} frames), "
+                  f"cvsim {cst['median']:.1f} ({cv_n} frames) "
                   f"({cst['median']/rst['median']:.2f}x)", file=sys.stderr)
     finally:
         _sh.rmtree(tmp, ignore_errors=True)

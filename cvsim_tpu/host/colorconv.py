@@ -111,17 +111,38 @@ def hscale_bilinear_np(plane, dst_w: int):
     return np.round(s0 + (s1 - s0) * f).astype(np.int32)
 
 
-def scale_frame_to_np(y, u, v, width: int, height: int):
+def chroma_up_bilinear_np(p, dst_h: int, dst_w: int):
+    """Bilinear chroma upsample to luma resolution (width pass then height
+    pass, int32 rounding after each — the hscale_bilinear constants, so the
+    native kernel's float path is bit-identical). This is the InputFile
+    restore tools' ingest semantics: the reference converts YUV420P->BGRA
+    through an SWS_BILINEAR resampler (ffmpeg_vhsled.cpp:318-323,
+    frameblend.cpp:328, filmac.cpp:323), which interpolates the chroma
+    planes up — where the engines' frame_copy_scale path replicates."""
+    p = hscale_bilinear_np(np.asarray(p, np.int32), dst_w)
+    p = np.swapaxes(hscale_bilinear_np(np.swapaxes(p, 0, 1), dst_h), 0, 1)
+    return p
+
+
+def scale_frame_to_np(y, u, v, width: int, height: int,
+                      chroma: str = "repeat"):
     """Scale a Y4M frame (possibly 4:2:0) to a full-res RGB [H, W, 3] frame
     (the frame_copy_scale role, ffmpeg_ntsc.cpp:544-607). Pure numpy: this
     runs per decoded frame on the host thread, where every eager device
-    call costs a ~25 ms RPC on tunneled hosts (round-1 e2e mistake)."""
-    # chroma up to luma resolution
+    call costs a ~25 ms RPC on tunneled hosts (round-1 e2e mistake).
+
+    chroma="repeat" replicates chroma up to luma resolution (the engines'
+    ingest); chroma="bilinear" interpolates it (the restore tools' ingest —
+    see chroma_up_bilinear_np)."""
     yh, yw = y.shape
-    u = np.repeat(np.repeat(u, yh // u.shape[0], axis=0),
-                  yw // u.shape[1], axis=1)
-    v = np.repeat(np.repeat(v, yh // v.shape[0], axis=0),
-                  yw // v.shape[1], axis=1)
+    if chroma == "bilinear" and u.shape != y.shape:
+        u = chroma_up_bilinear_np(u, yh, yw)
+        v = chroma_up_bilinear_np(v, yh, yw)
+    else:
+        u = np.repeat(np.repeat(u, yh // u.shape[0], axis=0),
+                      yw // u.shape[1], axis=1)
+        v = np.repeat(np.repeat(v, yh // v.shape[0], axis=0),
+                      yw // v.shape[1], axis=1)
     r, g, b = yuv_to_rgb601_np(np.asarray(y, np.int32),
                                np.asarray(u, np.int32),
                                np.asarray(v, np.int32))

@@ -12,7 +12,9 @@ import subprocess
 import sys
 import threading
 
-import numpy as np
+# numpy imports lazily inside the classes that need it: build_av_tool()
+# serves the numpy-free restore-tool fast path (cli/toolargs.py), where
+# the numpy import alone costs ~0.3 s of a one-shot process
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "hostio.cpp")
@@ -21,6 +23,9 @@ _lock = threading.Lock()
 _lib = None
 
 _AV_SRC = os.path.join(_DIR, "avio.cpp")
+_AV_PIX_SRC = os.path.join(_DIR, "hostpix.cpp")  # restore-tool kernels,
+# compiled into cvsim-av so the in-process tool loops share the exact
+# pixel implementation the Python fallback dlopens (libhostpix.so)
 _AV_BIN = os.path.join(_DIR, "cvsim-av")
 _AV_LIBS = ["-lavformat", "-lavcodec", "-lavutil", "-lswscale",
             "-lswresample"]
@@ -39,15 +44,24 @@ def build_av_tool() -> str | None:
         path = None
         try:
             if (not os.path.exists(_AV_BIN) or os.path.getmtime(_AV_BIN)
-                    < os.path.getmtime(_AV_SRC)):
+                    < max(os.path.getmtime(_AV_SRC),
+                          os.path.getmtime(_AV_PIX_SRC))):
                 # build to a private temp name, then atomically rename:
                 # concurrent processes (parallel CLI runs, daemon + client)
                 # must never exec a half-linked binary or collide on the
-                # shared output path
+                # shared output path.  hostpix.cpp's flags are load-bearing
+                # (-ffp-contract=off: FMA would change the f32 results vs
+                # numpy; see hostpix.py _load); -march=native vectorizes
+                # rintf, with a portable fallback.
                 tmp = f"{_AV_BIN}.tmp.{os.getpid()}"
-                subprocess.run(
-                    ["g++", "-O2", "-o", tmp, _AV_SRC] + _AV_LIBS,
-                    check=True, capture_output=True)
+                base = ["g++", "-O3", "-ffp-contract=off",
+                        "-fno-math-errno", "-o", tmp, _AV_SRC,
+                        _AV_PIX_SRC] + _AV_LIBS
+                try:
+                    subprocess.run(base[:1] + ["-march=native"] + base[1:],
+                                   check=True, capture_output=True)
+                except subprocess.CalledProcessError:
+                    subprocess.run(base, check=True, capture_output=True)
                 os.replace(tmp, _AV_BIN)
             path = _AV_BIN
         except subprocess.CalledProcessError as e:
@@ -128,6 +142,8 @@ class HsyncDcTracker:
     # ---------------------------------------------------------------- python
     def _init_python(self):
         import math
+
+        import numpy as np
         rate, cutoff, a_fast, a_slow, dlen, pre, pre_n = self._params
         dt = 1.0 / rate
         tau = 1.0 / (cutoff * 2 * math.pi)
@@ -144,8 +160,10 @@ class HsyncDcTracker:
         self._delay = np.zeros(dlen, np.uint8)
         self._dpos = 0
 
-    def process(self, raw: np.ndarray):
+    def process(self, raw):
         """raw: uint8 [N]. Returns (delayed_raw uint8 [N], dc uint8 [N])."""
+        import numpy as np
+
         raw = np.ascontiguousarray(raw, np.uint8)
         n = len(raw)
         out_raw = np.empty(n, np.uint8)

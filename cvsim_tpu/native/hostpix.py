@@ -69,6 +69,12 @@ def _load():
                 _u8p, _u8p, _u8p, _L, _L, _L, _L, _L, _L,
                 _i64p, _i64p, _f32p, ctypes.c_int,
                 _i64p, _i64p, _f32p, ctypes.c_int, _i32p]
+            lib.cvsim_scale_frame_bc.argtypes = [
+                _u8p, _u8p, _u8p, _L, _L, _L, _L, _L, _L,
+                _i64p, _i64p, _f32p, ctypes.c_int,
+                _i64p, _i64p, _f32p, ctypes.c_int,
+                _i64p, _i64p, _f32p, ctypes.c_int,
+                _i64p, _i64p, _f32p, ctypes.c_int, _i32p]
             lib.cvsim_rgb_to_yuv.argtypes = [_i32p, _L, _L, _u8p, _u8p, _u8p]
             lib.cvsim_vhsled_dejitter.argtypes = [_i32p, _L, _L, _i32p]
             lib.cvsim_frameblend_mix.argtypes = [
@@ -90,12 +96,16 @@ _ID = np.zeros(0, np.int64)
 _IDF = np.zeros(0, np.float32)
 
 
-def scale_frame_to(y, u, v, width: int, height: int):
-    """colorconv.scale_frame_to_np, native when available."""
+def scale_frame_to(y, u, v, width: int, height: int,
+                   chroma: str = "repeat"):
+    """colorconv.scale_frame_to_np, native when available. chroma="bilinear"
+    interpolates chroma up to luma resolution (the restore tools' ingest —
+    the reference converts through an SWS_BILINEAR resampler,
+    ffmpeg_vhsled.cpp:318-323); "repeat" replicates (the engines')."""
     lib = _load()
     if lib is None:
         from cvsim_tpu.host.colorconv import scale_frame_to_np
-        return scale_frame_to_np(y, u, v, width, height)
+        return scale_frame_to_np(y, u, v, width, height, chroma)
     from cvsim_tpu.host.batching import hscale_consts
 
     y = np.ascontiguousarray(y, np.uint8)
@@ -108,14 +118,29 @@ def scale_frame_to(y, u, v, width: int, height: int):
     hx0, hx1, hf = (hc if hc is not None else (_ID, _ID, _IDF))
     vx0, vx1, vf = (vc if vc is not None else (_ID, _ID, _IDF))
     out = np.empty((height, width, 3), np.int32)
-    lib.cvsim_scale_frame(
-        y, u, v, sh, sw, ch, cw, height, width,
-        np.ascontiguousarray(hx0, np.int64),
-        np.ascontiguousarray(hx1, np.int64),
-        np.ascontiguousarray(hf, np.float32), int(hc is not None),
-        np.ascontiguousarray(vx0, np.int64),
-        np.ascontiguousarray(vx1, np.int64),
-        np.ascontiguousarray(vf, np.float32), int(vc is not None), out)
+    common = (y, u, v, sh, sw, ch, cw, height, width,
+              np.ascontiguousarray(hx0, np.int64),
+              np.ascontiguousarray(hx1, np.int64),
+              np.ascontiguousarray(hf, np.float32), int(hc is not None),
+              np.ascontiguousarray(vx0, np.int64),
+              np.ascontiguousarray(vx1, np.int64),
+              np.ascontiguousarray(vf, np.float32), int(vc is not None))
+    if chroma == "bilinear":
+        cu = hscale_consts(cw, sw)
+        cv = hscale_consts(ch, sh)
+        cux0, cux1, cuf = (cu if cu is not None else (_ID, _ID, _IDF))
+        cvx0, cvx1, cvf = (cv if cv is not None else (_ID, _ID, _IDF))
+        lib.cvsim_scale_frame_bc(
+            *common,
+            np.ascontiguousarray(cux0, np.int64),
+            np.ascontiguousarray(cux1, np.int64),
+            np.ascontiguousarray(cuf, np.float32), int(cu is not None),
+            np.ascontiguousarray(cvx0, np.int64),
+            np.ascontiguousarray(cvx1, np.int64),
+            np.ascontiguousarray(cvf, np.float32), int(cv is not None),
+            out)
+    else:
+        lib.cvsim_scale_frame(*common, out)
     return out
 
 
