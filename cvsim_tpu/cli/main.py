@@ -151,14 +151,26 @@ def cmd_ntsc(argv):
     from cvsim_tpu.host.pipeline_yiq import YIQPipeline
     from cvsim_tpu.host import ffmpeg_pipe
 
-    for flag, given in (("-checkpoint", st.checkpoint),
-                        ("-video-pts-in", st.video_pts_in)):
-        if given:
-            print(f"{flag} is not supported by the ntsc engine; ignoring",
-                  file=sys.stderr)
-
     die = _soft_sigint()
     cfg = st.to_run_config(gen1=False)
+    # -checkpoint: resumable runs (original extension, gen-1 semantics —
+    # host/checkpoint.py). Only a native Y4M output can be
+    # truncated-and-appended; encoder pipes cannot.
+    ckpt_path = None
+    resuming = False
+    if st.checkpoint and st.output_file:
+        if st.output_file.endswith(".y4m"):
+            ckpt_path = st.output_file + ".ckpt"
+            from cvsim_tpu.host import checkpoint as _ckpt
+
+            loaded = _ckpt.load(ckpt_path)
+            resuming = bool(
+                loaded
+                and loaded[0].get("cfg_hash") == _ckpt.config_hash(cfg)
+                and os.path.exists(st.output_file))
+        else:
+            print("-checkpoint requires a .y4m output; ignoring",
+                  file=sys.stderr)
     pipe = YIQPipeline(cfg, frame_delay=st.frame_delay, die=die,
                        mesh=_cli_mesh(st.devices))
     will_encode_video = bool(st.input_files and st.video_stream_index >= 0
@@ -183,7 +195,12 @@ def cmd_ntsc(argv):
                 os.close(fd)
                 audio_dst = audio_tmp
             if audio_dst:
-                _audio_pipe(cfg).run_audio(st.audio_in, audio_dst)
+                if (resuming and os.path.exists(audio_dst)
+                        and audio_dst != audio_tmp):
+                    print("Resume: audio output already complete; skipping",
+                          file=sys.stderr)
+                else:
+                    _audio_pipe(cfg).run_audio(st.audio_in, audio_dst)
                 if want_mux:
                     mux_wav = audio_dst
             else:
@@ -196,10 +213,23 @@ def cmd_ntsc(argv):
                 r, c = ffmpeg_pipe.resolve_video_input(path)
                 readers.append(r)
                 cleanups.append(c)
-            out_stream, finalize = ffmpeg_pipe.resolve_video_output(
-                st.output_file, mux_wav=mux_wav)
+            if resuming:
+                out_stream = open(st.output_file, "r+b")
+                finalize = out_stream.close
+            else:
+                out_stream, finalize = ffmpeg_pipe.resolve_video_output(
+                    st.output_file, mux_wav=mux_wav)
+            frame_log, log_rate = None, 90000
+            if st.video_pts_in:
+                from cvsim_tpu.host import timing as _timing
+
+                frame_log, log_rate = _timing.read_frame_pts_log(
+                    st.video_pts_in)
             try:
-                fields = pipe.run_video(readers, out_stream)
+                fields = pipe.run_video(readers, out_stream,
+                                        ckpt_path=ckpt_path,
+                                        frame_log=frame_log,
+                                        frame_log_rate=log_rate)
             except BaseException:
                 try:
                     finalize()   # never mask the root cause
@@ -356,6 +386,21 @@ def _tool(name):
     return run
 
 
+def _restore_tool(name):
+    """vhsled/frameblend/filmac: try the numpy-free native fast path first
+    (cli/toolargs.fast_restore — the whole loop runs inside cvsim-av);
+    fall back to the full cli/tools loop for anything it declines. The
+    numpy import alone is ~0.3 s against these tools' ~3 s runs."""
+    def run(argv):
+        from cvsim_tpu.cli import toolargs
+        rc = toolargs.fast_restore(name, argv)
+        if rc is not None:
+            return rc
+        from cvsim_tpu.cli import tools
+        return getattr(tools, f"run_{name}")(argv)
+    return run
+
+
 COMMANDS = {
     "to-composite": cmd_to_composite,
     "ntsc": cmd_ntsc,
@@ -365,9 +410,9 @@ COMMANDS = {
     "posterize": _tool("posterize"),
     "scanimate": _tool("scanimate"),
     "average-delay": _tool("average_delay"),
-    "frameblend": _tool("frameblend"),
-    "filmac": _tool("filmac"),
-    "vhsled": _tool("vhsled"),
+    "frameblend": _restore_tool("frameblend"),
+    "filmac": _restore_tool("filmac"),
+    "vhsled": _restore_tool("vhsled"),
     "raw28ntsc": _tool("raw28ntsc"),
     "normalize-ts": _tool("normalize_ts"),
 }

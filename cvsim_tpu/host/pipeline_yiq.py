@@ -109,14 +109,20 @@ class YIQPipeline:
         self._process_batch = progcache.get_or_build(
             ("gen2", cfg, gop, str(dtype), mesh_key), build)
         self._warm = False
+        self._ckpt_save = None   # set per run_video when -checkpoint is on
 
-    def _flush(self, batch, writer, final=False):
+    def _flush(self, batch, writer, final=False, snapshot=None):
         """Double-buffered like CompositePipeline's streaming loop — except
         for the FIRST batch, which is fetched with the transfer channel
         quiet before the next dispatch's H2D starts: concurrent transfers
         racing a program's first execution trigger a 50-400s load path in
         the tunneled device client (round-3 stall diagnosis,
-        docs/STATUS.md)."""
+        docs/STATUS.md).
+
+        `snapshot` is the resume cursor captured when `batch` was FORMED
+        (host/checkpoint.py): it is saved only after that batch's fields
+        are durably written, so a crash resumes exactly at the batch
+        boundary the output file actually reached."""
         prev = getattr(self, "_inflight", None)
         if not self._warm and prev is not None:
             self._emit_inflight(prev, writer)
@@ -132,7 +138,7 @@ class YIQPipeline:
             # content-addressed noise: base key passes straight through
             inflight = (self._process_batch(rgbs, fieldnos, parities,
                                             self.key),
-                        [int(b[1]) for b in batch])
+                        [int(b[1]) for b in batch], snapshot)
         else:
             inflight = None
         self._inflight = inflight
@@ -143,10 +149,12 @@ class YIQPipeline:
             self._inflight = None
 
     def _emit_inflight(self, item, writer):
-        out, metas = item
+        out, metas, snapshot = item
         out = np.asarray(out)
         for k, fieldno in enumerate(metas):
             self._emit(out[k], fieldno, writer)
+        if snapshot is not None and self._ckpt_save is not None:
+            self._ckpt_save(snapshot, writer)
 
     def _emit(self, rgb_field, fieldno, writer):
         out = self.cfg.output
@@ -167,14 +175,34 @@ class YIQPipeline:
         if self.progress:
             print(f"\x0dOutput field {fieldno} ", end="", file=sys.stderr)
 
-    def run_video(self, readers: list, out_stream):
+    def run_video(self, readers: list, out_stream,
+                  ckpt_path: str | None = None, ckpt_every: int = 4,
+                  frame_log=None, frame_log_rate: int = 90000,
+                  _fail_after_gops: int | None = None):
+        """Drive the multi-input field loop through the batched chain.
+
+        ckpt_path enables checkpoint/resume (host/checkpoint.py, same
+        contract as CompositePipeline.run_video): a resume cursor
+        {next_field, frames_written, per-reader consumed/eof/next_at} is
+        saved every `ckpt_every` GOPs after the GOP's fields are durably
+        written — the gen-2 chain carries no cross-field device state (the
+        reference's delay ring never reaches ffmpeg_ntsc's own output, see
+        module docstring), so the cursor alone makes resume byte-identical
+        (content-addressed noise + pure-function field clock).
+
+        frame_log/frame_log_rate (-video-pts-in) drive a timing.FrameClock
+        for the FIRST input: VFR/telecine sources render each frame for its
+        own duration (3:2 pulldown cadence etc.); additional inputs keep
+        their container CFR cadence. _fail_after_gops is a test hook that
+        injects a crash after N GOPs are written."""
+        from cvsim_tpu.host import checkpoint
+
         cfg = self.cfg
         out = cfg.output
         whdr = y4m.Y4MHeader(
             width=out.width, height=out.height, fps=self._field_rate,
             interlacing="p", aspect="4:3",
             colorspace="422" if out.use_422_colorspace else "420jpeg")
-        writer = y4m.Y4MWriter(out_stream, whdr)
 
         iters = [iter(r) for r in readers]
         fps = [r.header.fps for r in readers]
@@ -182,6 +210,95 @@ class YIQPipeline:
         next_at = [0] * len(readers)        # field index when next frame due
         frame_idx = [0] * len(readers)
         eof = [False] * len(readers)
+        clock = timing.FrameClock(fps[0], self._field_rate,
+                                  log=frame_log or None,
+                                  log_rate=frame_log_rate)
+
+        def due_field(k: int) -> int:
+            # field index at which reader k's NEXT frame (frame_idx[k])
+            # becomes current; input 0 rides the FrameClock (CFR mode is
+            # identical to frame_pts_to_field by construction)
+            if k == 0:
+                return clock.fields(frame_idx[0], 0)[0]
+            return timing.frame_pts_to_field(frame_idx[k], fps[k],
+                                             self._field_rate)
+
+        run_hash = checkpoint.config_hash(
+            cfg, [r.header for r in readers], self.gop, self.frame_delay,
+            (frame_log, frame_log_rate) if frame_log else None)
+        resume_field = 0
+        frames_written = 0
+        if ckpt_path:
+            loaded = checkpoint.load(ckpt_path)
+            if loaded and loaded[0].get("hash") == run_hash:
+                meta, _ = loaded
+                resume_field = int(meta["next_field"])
+                frames_written = int(meta["frames_written"])
+                frame_idx = [int(n) for n in meta["consumed"]]
+                next_at = [int(n) for n in meta["next_at"]]
+                eof = [bool(e) for e in meta["eof"]]
+                if self.progress:
+                    print(f"Resuming at field {resume_field} "
+                          f"({frames_written} frames already written)",
+                          file=sys.stderr)
+            elif loaded:
+                print("Checkpoint exists but flags/input changed; "
+                      "starting over", file=sys.stderr)
+
+        if resume_field:
+            hdr_line = whdr.header_line()
+            out_stream.seek(0)
+            if out_stream.read(len(hdr_line)) != hdr_line:
+                raise ValueError(
+                    "resume: existing output header does not match")
+            fsize = 6 + whdr.frame_bytes()   # b"FRAME\n" + payload
+            out_stream.seek(len(hdr_line) + frames_written * fsize)
+            out_stream.truncate()
+            writer = y4m.Y4MWriter(out_stream, whdr, write_header=False)
+            writer.frames_written = frames_written
+            # re-materialize each reader's CURRENT frame: skip the consumed
+            # prefix, read+scale the last consumed frame
+            for k in range(len(readers)):
+                if frame_idx[k] <= 0:
+                    continue
+                checkpoint.skip_y4m_frames(readers[k], frame_idx[k] - 1)
+                try:
+                    yf, uf, vf = next(iters[k])
+                except StopIteration:
+                    raise EOFError("resume: input shorter than checkpoint")
+                if uf is None:
+                    uf = np.full((yf.shape[0], yf.shape[1]), 128, np.uint8)
+                    vf = uf
+                frames[k] = _scale_frame_to(yf, uf, vf, out.width,
+                                            out.height)
+        else:
+            try:
+                # a reused output stream (resume attempted, hash mismatch)
+                # must restart from zero bytes; pipes reject this harmlessly
+                out_stream.seek(0)
+                out_stream.truncate()
+            except (OSError, AttributeError, ValueError):
+                pass
+            writer = y4m.Y4MWriter(out_stream, whdr)
+
+        wrote = {"gops": 0}
+
+        def ckpt_save(snapshot, wr):
+            wrote["gops"] += 1
+            if wrote["gops"] % ckpt_every == 0:
+                try:
+                    out_stream.flush()
+                except (OSError, AttributeError, ValueError):
+                    pass
+                checkpoint.save(ckpt_path, dict(
+                    snapshot, hash=run_hash,
+                    cfg_hash=checkpoint.config_hash(cfg),
+                    frames_written=wr.frames_written), {})
+            if (_fail_after_gops is not None
+                    and wrote["gops"] >= _fail_after_gops):
+                raise RuntimeError("injected checkpoint-test crash")
+
+        self._ckpt_save = ckpt_save if ckpt_path else None
 
         # -ss/-se/-t extension (the gen-2 reference has no transcode window;
         # gen-1 semantics, pipeline.py read_loop: skip until start, rebase
@@ -194,7 +311,11 @@ class YIQPipeline:
         end_f = (int(np.ceil(cfg.transcode_end * rate))
                  if cfg.transcode_end >= 0 else None)
 
-        current = 0
+        def snapshot():
+            return {"next_field": current, "consumed": list(frame_idx),
+                    "next_at": list(next_at), "eof": list(eof)}
+
+        current = resume_field
         batch = []
         while True:
             if self.die["die"]:
@@ -214,8 +335,7 @@ class YIQPipeline:
                         vf = uf
                     frames[k] = _scale_frame_to(yf, uf, vf, out.width, out.height)
                     frame_idx[k] += 1
-                    next_at[k] = timing.frame_pts_to_field(
-                        frame_idx[k], fps[k], self._field_rate)
+                    next_at[k] = due_field(k)
             if all(eof) and all(next_at[k] <= current for k in range(len(readers))):
                 break
             # last input with a frame wins (see module docstring)
@@ -233,13 +353,18 @@ class YIQPipeline:
             batch.append((field_rgb, vf, parity))
             current += 1
             if len(batch) >= self.gop:
-                self._flush(batch, writer)
+                snap = snapshot()
+                self._flush(batch, writer, snapshot=snap)
                 batch = []
             if all(eof):
                 # drain remaining scheduled fields up to the last frame's due
                 if current >= max(next_at):
                     break
-        self._flush(batch, writer, final=True)
+        self._flush(batch, writer, final=True,
+                    snapshot=snapshot() if batch else None)
+        self._ckpt_save = None
+        if ckpt_path and not self.die["die"]:
+            checkpoint.clear(ckpt_path)
         if self.progress:
             print("", file=sys.stderr)
         return max(0, current - start_f)
