@@ -93,12 +93,20 @@ class YIQPipeline:
                 # explicit lower().compile(): the lazy jit-call path defers
                 # the remote program load to the first fetch, measured at
                 # 50-400s on tunneled hosts (same diagnosis as
-                # CompositePipeline)
+                # CompositePipeline). The compiled executable round-trips
+                # through the serialized-exec cache (host/execache.py) so a
+                # cold process skips the XLA compile — the HD single-tile
+                # program's is ~4 min on real TPU hosts (VERDICT r4 #6).
+                from cvsim_tpu.host import execache
+
                 l, w = out.height // 2, out.width
                 sds = jax.ShapeDtypeStruct
-                process_batch = process_batch.lower(
-                    sds((gop, l, w, 3), jnp.uint8), sds((gop,), jnp.int32),
-                    sds((gop,), jnp.int32), self.key).compile()
+                process_batch = execache.get_or_compile(
+                    ("gen2", cfg, gop, str(dtype), mesh_key),
+                    process_batch.lower(
+                        sds((gop, l, w, 3), jnp.uint8),
+                        sds((gop,), jnp.int32),
+                        sds((gop,), jnp.int32), self.key))
             return process_batch
 
         # process-wide cache: a resident daemon builds a fresh pipeline per
