@@ -832,21 +832,43 @@ def tpu_gated_tests_row(result: dict, timeout_s: int = 3600) -> None:
     once per round and record pass/fail in the artifact, so the hardware
     path can't silently rot between rounds (VERDICT r3 weak #6). CPU CI
     skips these; only the bench rig has the chip. Runs LAST under whatever
-    budget remains (VERDICT r4 #1): the suite measured 213s warm but 2450s
-    on a cold healthy tunnel (remote compiles dominate)."""
+    budget remains (VERDICT r4 #1): the suite measured ~250s when the
+    device section has already warmed the server-side program cache
+    (rounds 4-5) but 2450s on a cold healthy tunnel (remote compiles
+    dominate). Budget policy: >=1200s remaining -> run the full suite
+    (the in-run warm case is the observed norm; a timeout costs only this
+    row — every other artifact row is already emitted); <1200s -> run
+    ONLY the line-sharded-kernel test (small shapes -> fastest compile,
+    and the one property nothing else on the rig proves: Mosaic-native
+    compilation of the row-offset kernels) as a recorded partial."""
     t0 = time.time()
-    r = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/test_cli_tpu.py", "-q",
-         "--tb=line"],
-        cwd=REPO, env=dict(os.environ, CVSIM_TPU_TESTS="1"),
-        capture_output=True, text=True, timeout=timeout_s)
-    tail = (r.stdout.strip().splitlines() or [""])[-1]
-    result["tpu_gated_tests"] = {"rc": r.returncode, "summary": tail,
+    cmd = [sys.executable, "-m", "pytest", "tests/test_cli_tpu.py", "-q",
+           "--tb=line"]
+    partial = timeout_s < 1200
+    if partial:
+        cmd += ["-k", "line_sharded"]
+        print(f"[bench] tpu-gated tests: budget {timeout_s}s < cold "
+              "full-suite wall, running line-sharded test only",
+              file=sys.stderr)
+    try:
+        r = subprocess.run(
+            cmd, cwd=REPO, env=dict(os.environ, CVSIM_TPU_TESTS="1"),
+            capture_output=True, text=True, timeout=timeout_s)
+        rc, out = r.returncode, r.stdout
+    except subprocess.TimeoutExpired as e:
+        # salvage whatever pytest printed before the watchdog fired
+        rc = 124
+        out = (e.stdout or b"").decode("utf-8", "replace") \
+            if isinstance(e.stdout, bytes) else (e.stdout or "")
+        out += f"\ntimeout after {timeout_s}s"
+    tail = (out.strip().splitlines() or [""])[-1]
+    if partial:
+        tail = f"partial_over_budget(1/3): {tail}"
+    result["tpu_gated_tests"] = {"rc": rc, "summary": tail,
                                  "wall_s": round(time.time() - t0, 1)}
-    print(f"[bench] tpu-gated tests: rc={r.returncode} {tail}",
-          file=sys.stderr)
-    if r.returncode != 0:
-        print(r.stdout[-3000:], file=sys.stderr)
+    print(f"[bench] tpu-gated tests: rc={rc} {tail}", file=sys.stderr)
+    if rc != 0:
+        print(out[-3000:], file=sys.stderr)
 
 
 def e2e_daemon_fields_per_sec() -> float:
