@@ -185,6 +185,63 @@ def _roll2(a, shift_col):
     return a
 
 
+def _hs_rotate(ywin, s_col, *, w: int, wp: int, fill: float):
+    """Per-row rotation mod twidth = w + w//10 on a VMEM-resident window.
+
+    out[x] = pad[(x+s) mod twidth] with pad[j] = row[j] (j < w) else fill
+    (ffmpeg_ntsc.cpp:1683-1712). The mod-twidth rotation decomposes over
+    the wp-cyclic lane axis into ONE barrel roll plus a static correction
+    roll:
+      no wrap:  row[x+s_pos] = roll_left(row, s_pos)          if x+s_pos < w
+      wrap:     row[x+s_pos-twidth]
+                  = roll_right(roll_left(row, s_pos), twidth mod wp)
+                                                       if x >= twidth-s_pos
+      else fill.
+    Both conditions pin the true index into [0, w) <= wp, so the mod-wp
+    aliasing of the cyclic rolls is always masked off. Rows with s == 0
+    and columns >= w pass through (matches the staged path)."""
+    twidth = w + w // 10
+    swin = s_col.astype(jnp.int32)
+    s_pos = jnp.remainder(swin, twidth)                    # [win, 1] >= 0
+    xw = _iota_w(wp)
+    t1 = ywin
+    for bnum in range((twidth - 1).bit_length()):
+        bit = ((s_pos >> bnum) & 1) == 1
+        t1 = jnp.where(bit, jnp.roll(t1, -(1 << bnum), axis=-1), t1)
+    t2 = jnp.roll(t1, twidth % wp, axis=-1)
+    rot = jnp.where(xw + s_pos < w, t1,
+                    jnp.where(xw >= twidth - s_pos, t2, fill))
+    return jnp.where((s_pos != 0) & (xw < w), rot, ywin)
+
+
+def _head_switch_window(y, y_ref, scratch_ref, hs_ref, w0, *, w: int,
+                        wp: int, win: int, fill: float):
+    """In-kernel VHS head switch: windowed per-row rotation mod twidth.
+
+    Same permutation as yiq.head_switching_padded applied on the
+    VMEM-resident tile inside kernel B — the XLA stage between the kernel
+    halves cost 11.3 us/field at SD (round-5 stage ablation), dominated by
+    the kernel-boundary HBM round trips of the one-hot extract/realign.
+    Here only the <=win sublane-aligned rows move, entirely in VMEM: the
+    shift operand arrives pre-windowed ([B, win, 1], yiq.
+    head_switch_window_shifts), the window rows come from pl.load with a
+    dynamic sublane start (Mosaic has no value-level dynamic_slice), and
+    the realigned plane is assembled through a VMEM scratch (full-tile
+    copy + windowed pl.store). Small tiles (win == rows) skip the
+    window machinery entirely."""
+    s_col = hs_ref[0]                                       # [win, 1]
+    if win >= y.shape[0]:
+        return _hs_rotate(y, s_col, w=w, wp=wp, fill=fill)
+    # w0 is built 8-aligned (head_switch_window_shifts); Mosaic needs the
+    # divisibility hint to allow a dynamic sublane start
+    w0 = pl.multiple_of(w0, 8)
+    ywin = y_ref[0, pl.ds(w0, win), :]
+    out = _hs_rotate(ywin, s_col, w=w, wp=wp, fill=fill)
+    scratch_ref[...] = y
+    scratch_ref[pl.ds(w0, win), :] = out
+    return scratch_ref[...]
+
+
 def _qam_decode(y, xi_col, amp_back: int, w: int, wp: int):
     """Y/C separation + demux (ffmpeg_ntsc.cpp:1497-1567) on VMEM arrays."""
     xw = _iota_w(wp)
@@ -386,14 +443,27 @@ class _TTBinder:
 
 
 
-def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
-    """Single-tile kernel: full field resident, in-kernel vertical blend."""
+def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int,
+                   hs_win: int | None = None):
+    """Single-tile kernel: full field resident, in-kernel vertical blend.
+    With hs_win set, head switching runs IN-KERNEL on the resident tile
+    (windowed rotation; see _head_switch_window) from two extra operands —
+    the pre-windowed shift column and the per-field aligned window start —
+    plus a VMEM scratch for the realigned plane when the window is a
+    proper subset of the tile."""
+    windowed = hs_win is not None and hs_win < tl
 
-    def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-               tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref):
+    def body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
+             tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref, hs=None,
+             scratch_ref=None):
         cs = _TTBinder()
         cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
         y = y_ref[0]
+        if hs is not None:
+            hs_ref, w0_ref = hs
+            y = _head_switch_window(y, y_ref, scratch_ref, hs_ref,
+                                    w0_ref[0, 0, 0], w=w, wp=wp,
+                                    win=hs_win, fill=0.0)
         xi_col = xi_ref[0].astype(jnp.int32)
         y, i, q = _kernel_b_front(cfg, w, wp, l, tl, y, xi_col,
                                   nk_ref[0, 0, 1].astype(jnp.uint32),
@@ -406,6 +476,26 @@ def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int):
         r_ref[0] = r
         g_ref[0] = g
         b_ref[0] = b
+
+    if hs_win is None:
+        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
+                   tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref):
+            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
+                 tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref)
+    elif windowed:
+        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, hs_ref, w0_ref,
+                   tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+                   r_ref, g_ref, b_ref, scratch_ref):
+            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
+                 tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref,
+                 hs=(hs_ref, w0_ref), scratch_ref=scratch_ref)
+    else:
+        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, hs_ref, w0_ref,
+                   tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+                   r_ref, g_ref, b_ref):
+            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
+                 tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref,
+                 hs=(hs_ref, w0_ref))
 
     return kernel
 
@@ -641,20 +731,65 @@ def _fused_stage_a(ctx: _FusedCtx):
       *ctx.consts)
 
 
-def _fused_stage_b_single(ctx: _FusedCtx, y_enc):
-    """Single-tile kernel B (whole field resident, vblend in-kernel)."""
-    kernel_b = _make_kernel_b(ctx.cfg, ctx.w, ctx.wp, ctx.noise_l, ctx.tl)
+def _hs_window_rows(l: int) -> int:
+    """Static row count of the in-kernel head-switch window: 64 shift rows
+    plus up to 7 rows of sublane alignment slack, whole tile when small."""
+    return min(72, l)
+
+
+def _hs_specs(win: int):
+    """(shift spec [1,win,1] VMEM, window-start spec [1,1,1] SMEM)."""
+    spec_hs = pl.BlockSpec((1, win, 1), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_w0 = pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.SMEM)
+    return spec_hs, spec_w0
+
+
+def _head_switch_operands(ctx: _FusedCtx, field_parity, *, phase):
+    """(shift column [B,win,1] f32, window start [B,1,1] i32) for the
+    in-kernel head switch. `phase` is split out because gen-1 reuses the
+    switch point for both axes (ffmpeg_to_composite.cpp:668-732)."""
+    cfg = ctx.cfg
+    shifts, w0a = yiq.head_switch_window_shifts(
+        ctx.l, field_parity, ctx.keys[1],
+        point=cfg.vhs_head_switching_point, phase=phase,
+        phase_noise=cfg.vhs_head_switching_phase_noise,
+        twidth=ctx.w + ctx.w // 10, ntsc=cfg.ntsc,
+        win=_hs_window_rows(ctx.l))
+    # [B,1,1] with a (1,1,1) block: Mosaic requires the trailing block dims
+    # to equal the array dims for SMEM operands (same shape idiom as keys_ab)
+    return (shifts[..., None].astype(jnp.float32),
+            w0a.reshape(ctx.b, 1, 1).astype(jnp.int32))
+
+
+def _fused_stage_b_single(ctx: _FusedCtx, y_enc, hs=None):
+    """Single-tile kernel B (whole field resident, vblend in-kernel;
+    hs = (shift column, window start) enables the in-kernel head
+    switch)."""
+    hs_win = _hs_window_rows(ctx.l) if hs is not None else None
+    kernel_b = _make_kernel_b(ctx.cfg, ctx.w, ctx.wp, ctx.noise_l, ctx.tl,
+                              hs_win=hs_win)
+    in_specs = [ctx.specs3(), ctx.spec_col, ctx.spec_nk, ctx.spec_sc,
+                ctx.spec_col]
+    operands = [y_enc, ctx.xi_col, ctx.keys_ab, ctx.sincos_p, ctx.keep_p]
+    scratch = []
+    if hs is not None:
+        in_specs += list(_hs_specs(hs_win))
+        operands += list(hs)
+        if hs_win < ctx.tl:
+            scratch = [pltpu.VMEM((ctx.tl, ctx.wp), ctx.dtype)]
     return pl.pallas_call(
         kernel_b,
         out_shape=(jax.ShapeDtypeStruct((ctx.b, ctx.lp, ctx.wp),
                                         ctx.dtype),) * 3,
         grid=ctx.grid,
-        in_specs=[ctx.specs3(), ctx.spec_col, ctx.spec_nk, ctx.spec_sc,
-                  ctx.spec_col, *ctx.spec_consts],
+        in_specs=in_specs + list(ctx.spec_consts),
         out_specs=(ctx.specs3(),) * 3,
+        scratch_shapes=scratch,
         interpret=ctx.interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(y_enc, ctx.xi_col, ctx.keys_ab, ctx.sincos_p, ctx.keep_p, *ctx.consts)
+    )(*operands, *ctx.consts)
 
 
 def _fused_stage_b1(ctx: _FusedCtx, y_enc):
@@ -724,20 +859,27 @@ def composite_layer_rgb_fused(
 
     y_enc = _fused_stage_a(ctx)
 
-    # head switching on the encoded luma (XLA, windowed, applied IN PLACE
-    # on the padded plane: only the <=64-line window moves through HBM —
-    # no full-plane crop/astype/re-pad hop between the kernel halves)
+    # head switching on the encoded luma. Single-tile: IN-KERNEL at the top
+    # of kernel B (windowed VMEM rotation fed by tiny per-row/per-field
+    # operands — the XLA hop between the halves cost 11.3 us/field at SD).
+    # Tiled mode keeps the XLA windowed in-place stage (only the <=64-line
+    # window moves through HBM; no full-plane crop/astype/re-pad).
+    hs = None
     if cfg.vhs_head_switching:
-        y_enc = yiq.head_switching_padded(
-            y_enc, l, w, field_parity, ctx.keys[1],
-            point=cfg.vhs_head_switching_point,
-            phase=cfg.vhs_head_switching_phase,
-            phase_noise=cfg.vhs_head_switching_phase_noise,
-            ntsc=cfg.ntsc, fill=0.0)
+        if ctx.single_tile:
+            hs = _head_switch_operands(
+                ctx, field_parity, phase=cfg.vhs_head_switching_phase)
+        else:
+            y_enc = yiq.head_switching_padded(
+                y_enc, l, w, field_parity, ctx.keys[1],
+                point=cfg.vhs_head_switching_point,
+                phase=cfg.vhs_head_switching_phase,
+                phase_noise=cfg.vhs_head_switching_phase_noise,
+                ntsc=cfg.ntsc, fill=0.0)
 
     do_vblend = cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc
     if ctx.single_tile:
-        r_o, g_o, b_o = _fused_stage_b_single(ctx, y_enc)
+        r_o, g_o, b_o = _fused_stage_b_single(ctx, y_enc, hs=hs)
     else:
         y2, i2, q2 = _fused_stage_b1(ctx, y_enc)
         if do_vblend:

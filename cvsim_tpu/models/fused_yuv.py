@@ -34,7 +34,9 @@ from cvsim_tpu.config import (
 from cvsim_tpu.models import yiq as yiq_mod
 from cvsim_tpu.models.fused_yiq import (_TTBinder, _stack_alpha_consts,
                                         _pole, _pole3, _iota_w, _cdiv,
-                                        _walk_rows_kernel)
+                                        _walk_rows_kernel,
+                                        _head_switch_window,
+                                        _hs_window_rows, _hs_specs)
 from cvsim_tpu.ops.blocked_iir import _decay_consts
 from cvsim_tpu.ops.cmath import c_int
 from cvsim_tpu.ops.noise import (
@@ -335,16 +337,25 @@ def _b_back(cfg, w, wp, w2, wp2, y, u, v, xi_col, keep, cs,
 
 
 def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int,
-                   wp2: int, l: int, tl: int):
-    """Single-tile kernel: full field resident, in-kernel vertical blend."""
+                   wp2: int, l: int, tl: int, hs_win: int | None = None):
+    """Single-tile kernel: full field resident, in-kernel vertical blend.
+    With hs_win set, head switching runs IN-KERNEL on the resident luma
+    (fused_yiq._head_switch_window; gen-1 pads are luma black, fill=16)."""
+    windowed = hs_win is not None and hs_win < tl
 
-    def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-               tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
-               y_out, u_out, v_out):
+    def body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
+             tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+             y_out, u_out, v_out, hs=None, scratch_ref=None):
         cs = _TTBinder()
         cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
+        y = y_ref[0]
+        if hs is not None:
+            hs_ref, w0_ref = hs
+            y = _head_switch_window(y, y_ref, scratch_ref, hs_ref,
+                                    w0_ref[0, 0, 0], w=w, wp=wp,
+                                    win=hs_win, fill=16.0)
         xi_col = xi_ref[0].astype(jnp.int32)
-        y, u, v = _b_front(cfg, w, wp, w2, wp2, l, tl, y_ref[0], xi_col,
+        y, u, v = _b_front(cfg, w, wp, w2, wp2, l, tl, y, xi_col,
                            nk_ref[0, 0, 1].astype(jnp.uint32),
                            sc_ref[0, :, 0:1], sc_ref[0, :, 1:2],
                            cs, ed_ref[...])
@@ -355,6 +366,29 @@ def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int,
         y_out[0] = y
         u_out[0] = u
         v_out[0] = v
+
+    if hs_win is None:
+        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
+                   tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+                   y_out, u_out, v_out):
+            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
+                 tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+                 y_out, u_out, v_out)
+    elif windowed:
+        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, hs_ref, w0_ref,
+                   tt_ref, d_ref, tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+                   y_out, u_out, v_out, scratch_ref):
+            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
+                 tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+                 y_out, u_out, v_out, hs=(hs_ref, w0_ref),
+                 scratch_ref=scratch_ref)
+    else:
+        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, hs_ref, w0_ref,
+                   tt_ref, d_ref, tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+                   y_out, u_out, v_out):
+            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
+                 tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+                 y_out, u_out, v_out, hs=(hs_ref, w0_ref))
 
     return kernel
 
@@ -516,15 +550,30 @@ def composite_video_process_fused(
         compiler_params=_COMPILER_PARAMS,
     )(yf, uf, vf, xi_col, keys_ab, tts, ds, tt3s, d3s, vts, eu)
 
+    # head switching: IN-KERNEL for the single-tile path (windowed VMEM
+    # rotation at the top of kernel B — see fused_yiq._head_switch_window);
+    # tiled mode keeps the XLA windowed in-place stage. Gen-1 reuses the
+    # switch point for both raster axes (ffmpeg_to_composite.cpp:668-732)
+    # and pads with luma black.
+    hs = None
     if cfg.vhs_head_switching:
-        # windowed in-place head switch on the padded plane (no full-plane
-        # crop/re-pad hop; see yiq.head_switching_padded)
-        y_enc = yiq_mod.head_switching_padded(
-            y_enc, l, w, field_parity, keys[1],
-            point=cfg.vhs_head_switching_point,
-            phase=cfg.vhs_head_switching_point,   # gen-1: one phase for x and y
-            phase_noise=cfg.vhs_head_switching_phase_noise,
-            ntsc=cfg.ntsc, fill=16.0)
+        if single_tile:
+            shifts, w0a = yiq_mod.head_switch_window_shifts(
+                l, field_parity, keys[1],
+                point=cfg.vhs_head_switching_point,
+                phase=cfg.vhs_head_switching_point,
+                phase_noise=cfg.vhs_head_switching_phase_noise,
+                twidth=w + w // 10, ntsc=cfg.ntsc,
+                win=_hs_window_rows(l))
+            hs = (shifts[..., None].astype(jnp.float32),
+                  w0a.reshape(b, 1, 1).astype(jnp.int32))
+        else:
+            y_enc = yiq_mod.head_switching_padded(
+                y_enc, l, w, field_parity, keys[1],
+                point=cfg.vhs_head_switching_point,
+                phase=cfg.vhs_head_switching_point,
+                phase_noise=cfg.vhs_head_switching_phase_noise,
+                ntsc=cfg.ntsc, fill=16.0)
 
     out_shapes = (jax.ShapeDtypeStruct((b, lp, wp), dtype),
                   jax.ShapeDtypeStruct((b, lp, wp2), dtype),
@@ -532,19 +581,27 @@ def composite_video_process_fused(
     do_vblend = (cfg.emulating_vhs and cfg.vhs_chroma_vert_blend
                  and cfg.ntsc)
     if single_tile:
-        kernel_b = _make_kernel_b(cfg, w, wp, w2, wp2, l, tl)
+        hs_win = _hs_window_rows(l) if hs is not None else None
+        kernel_b = _make_kernel_b(cfg, w, wp, w2, wp2, l, tl, hs_win=hs_win)
+        in_specs = [spec_full, spec_col, spec_nk, spec_sc, spec_col]
+        operands = [y_enc, xi_col, keys_ab, sincos_p, keep_p]
+        scratch = []
+        if hs is not None:
+            in_specs += list(_hs_specs(hs_win))
+            operands += list(hs)
+            if hs_win < tl:
+                scratch = [pltpu.VMEM((tl, wp), dtype)]
         y_o, u_o, v_o = pl.pallas_call(
             kernel_b,
             out_shape=out_shapes,
             grid=grid,
-            in_specs=[spec_full, spec_col, spec_nk, spec_sc, spec_col,
-                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt,
-                      spec_ed, spec_eu],
+            in_specs=in_specs + [spec_tt, spec_d, spec_tt, spec_d3,
+                                 spec_vt, spec_ed, spec_eu],
             out_specs=(spec_full, spec_half, spec_half),
+            scratch_shapes=scratch,
             interpret=interpret,
             compiler_params=_COMPILER_PARAMS,
-        )(y_enc, xi_col, keys_ab, sincos_p, keep_p, tts, ds, tt3s, d3s,
-          vts, ed, eu)
+        )(*operands, tts, ds, tt3s, d3s, vts, ed, eu)
     else:
         kernel_b1 = _make_kernel_b1(cfg, w, wp, w2, wp2, l, tl)
         y2, u2, v2 = pl.pallas_call(

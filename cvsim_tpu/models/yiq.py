@@ -448,6 +448,46 @@ def head_switching_padded(
     return jnp.where(in_win[..., None], aligned, y_pad)
 
 
+def head_switch_window_shifts(l: int, field_parity, keys, *, point, phase,
+                              phase_noise, twidth: int, ntsc: bool,
+                              win: int):
+    """Head-switch shifts for a sublane-ALIGNED window: ([B, win], [B]).
+
+    Same geometry + 7/8 integer decay as head_switching_padded
+    (ffmpeg_ntsc.cpp:1646-1713), but the window start w0a is rounded down
+    to a multiple of 8 so the fused kernels can pl.load/pl.store the
+    window on the VMEM-resident tile IN-KERNEL
+    (fused_yiq._head_switch_window): only these tiny per-row/per-field
+    operands cross HBM instead of the whole encoded-luma plane taking an
+    extra XLA hop between the kernel halves. [w0a, w0a+win) covers every
+    row with a nonzero shift: |ishif| <= twidth/2 decays to 0 in <64
+    steps, and win >= min(72, l) covers that plus the alignment slack.
+    """
+    ishif, l_start = _head_switch_geometry(
+        field_parity, keys, point=point, phase=phase,
+        phase_noise=phase_noise, twidth=twidth, ntsc=ntsc,
+        dtype=jnp.float32)
+    KMAX = 128
+
+    def step(carry, k):
+        nxt = jnp.where(k == 0, ishif, c_div(carry * 7, 8).astype(jnp.int32))
+        return nxt, carry
+
+    _, applied = jax.lax.scan(step, jnp.zeros_like(ishif),
+                              jnp.arange(KMAX, dtype=jnp.int32))
+    applied = applied.T                                       # [B, KMAX]
+    w0 = jnp.clip(l_start + 1, 0, max(l - min(64, l), 0))
+    w0a = jnp.clip((w0 // 8) * 8, 0, max(l - win, 0))
+    idx = (w0a[:, None] + jnp.arange(win, dtype=jnp.int32)[None, :]
+           - l_start[:, None])
+    safe = jnp.clip(idx, 0, KMAX - 1)
+    # idx >= KMAX rows are zero anyway (the decay dies in <64 steps); the
+    # mask just keeps that fact local instead of relying on applied[127]
+    shifts = jnp.where((idx >= 0) & (idx < KMAX),
+                       jnp.take_along_axis(applied, safe, axis=1), 0)
+    return shifts, w0a
+
+
 def chroma_dropout_stage(i, q, keys, loss: int):
     """Per-scanline chroma wipe: rand()%100000 < loss (ffmpeg_ntsc.cpp:1891-1901).
     keys: [B] per-field keys."""

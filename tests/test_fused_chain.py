@@ -233,6 +233,53 @@ def test_gen1_tiled_fused_matches_xla():
         fused_yuv._TILE_BUDGET = old
 
 
+@pytest.mark.parametrize("point", [0.02, 0.52, 0.983])
+def test_windowed_inkernel_head_switch(point):
+    """Single-tile fields taller than the 72-row head-switch window take the
+    IN-KERNEL windowed rotation (dynamic-slice window + barrel roll inside
+    kernel B) instead of the XLA hop; the small CONFIGS shapes (l=32) only
+    cover the whole-tile branch. Points at the top (l_start < 0), middle,
+    and bottom (window start clipped to l-72) pin the window geometry."""
+    cfg = CompositeConfig(
+        video_noise=0, emulating_vhs=True, vhs_head_switching=True,
+        vhs_head_switching_point=point, vhs_head_switching_phase=point,
+        vhs_head_switching_phase_noise=0.04)
+    rng = np.random.default_rng(_seed(f"win-{point}"))
+    rgb = jnp.asarray(rng.integers(0, 256, size=(2, 96, 128, 3)), jnp.int32)
+    fn = jnp.array([0, 3], jnp.int32)
+    par = jnp.array([0, 1], jnp.int32)
+    key = jax.random.PRNGKey(11)
+    a = np.asarray(yiq.composite_layer_rgb(rgb, fn, par, key, cfg=cfg))
+    b = np.asarray(composite_layer_rgb_fused(
+        rgb, fn, par, key, cfg=cfg, interpret=True))
+    assert_chain_equal(a, b, err_msg=f"point={point}")
+
+
+@pytest.mark.parametrize("point", [0.02, 0.983])
+def test_gen1_windowed_inkernel_head_switch(point):
+    from cvsim_tpu.models import yuv422
+    from cvsim_tpu.models.fused_yuv import composite_video_process_fused
+
+    cfg = CompositeConfig(
+        video_noise=0, emulating_vhs=True, vhs_head_switching=True,
+        vhs_head_switching_point=point,
+        vhs_head_switching_phase_noise=0.04)
+    rng = np.random.default_rng(_seed(f"g1win-{point}"))
+    B, L, W = 2, 96, 128
+    y = jnp.asarray(rng.integers(16, 236, (B, L, W)), jnp.int32)
+    u = jnp.asarray(rng.integers(16, 241, (B, L, W // 2)), jnp.int32)
+    v = jnp.asarray(rng.integers(16, 241, (B, L, W // 2)), jnp.int32)
+    fn = jnp.array([0, 3], jnp.int32)
+    par = jnp.array([0, 1], jnp.int32)
+    key = jax.random.PRNGKey(11)
+    a = yuv422.composite_video_process(
+        y, u, v, cfg=cfg, fieldno=fn, field_parity=par, key=key)
+    b = composite_video_process_fused(
+        y, u, v, fn, par, key, cfg=cfg, interpret=True)
+    for x1, x2 in zip(a, b):
+        assert_chain_equal(x1, x2, err_msg=f"gen1 point={point}")
+
+
 def test_hd_shape_picks_single_tile():
     """1080i (540x1888 -> wp 1920, 1.037M samples) must take the SINGLE-tile
     kernel B — in-kernel vblend, no b1/vblend/b2 XLA hop. Measured 2363 vs
