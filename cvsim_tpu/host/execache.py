@@ -48,12 +48,21 @@ def cache_dir() -> str | None:
         "cvsim_tpu_exec")
 
 
+# Bump whenever the compiled GOP programs change shape or kernels (the
+# key carries config/shapes/jax-version but nothing ties it to this
+# repo's code): a stale entry is bit-identical-or-gone, but would keep
+# serving the OLD program's performance. r5.2 = merged single-tile
+# kernel + in-kernel head switch.
+CODE_VERSION = "r5.2"
+
+
 def _entry_path(base: str, key_parts) -> str:
     import jax
 
     dev = jax.devices()[0]
     h = hashlib.sha256()
-    for part in (key_parts, jax.__version__, jax.default_backend(),
+    for part in (key_parts, CODE_VERSION, jax.__version__,
+                 jax.default_backend(),
                  getattr(dev, "device_kind", ""), jax.device_count()):
         h.update(repr(part).encode())
         h.update(b"\x00")

@@ -1,17 +1,20 @@
 """Whole-chain fused Pallas implementation of the gen-2 composite engine.
 
 The stage-by-stage XLA path (models/yiq.py) makes ~60 HBM passes per field;
-this implementation runs the same math as TWO Pallas kernels that keep a
-full field's planes resident in VMEM:
+this implementation keeps a full field's planes resident in VMEM. For
+single-tile rasters (SD and 1080i both fit) the WHOLE chain is ONE merged
+pallas program (_make_kernel_ab):
 
-  kernel A: RGB->YIQ, input chroma lowpass, QAM encode, composite
-            preemphasis, luma noise add          (outputs only Y — the QAM
-            encode zeroes I/Q, so nothing else crosses the boundary)
-  [XLA]   : VHS head switching (windowed rotation modulo twidth=W+W/10 —
-            a non-128-aligned modulus Mosaic handles poorly)
-  kernel B: Y/C separation + QAM decode, chroma AM/phase noise, VHS
-            bandlimit/vertical blend/sharpen/recombine, chroma dropout,
-            output chroma lowpass, YIQ->RGB
+  RGB->YIQ, input chroma lowpass, QAM encode, composite preemphasis,
+  luma noise add, VHS head switching (in-VMEM windowed rotation modulo
+  twidth=W+W/10 — _head_switch_window), Y/C separation + QAM decode,
+  chroma AM/phase noise, VHS bandlimit/vertical blend/sharpen/recombine,
+  chroma dropout, output chroma lowpass, YIQ->RGB
+
+Rasters over the VMEM tile budget split into kernel A (through the noise
+add) / XLA windowed head switch / kernel B1+B2 with the vertical blend
+between them; the line-sharded multi-chip path uses the same split so its
+cross-line stages can run as GSPMD seam stages (parallel/mesh.py).
 
 Stochastic inputs (noise walks, phase angles, dropout masks, head-switch
 shifts) are precomputed outside with the exact key-split order of
@@ -63,6 +66,17 @@ _TILE_BUDGET = 525_000
 # enough to OOM by 16KB on a real v5e. Raise the scoped limit explicitly:
 # v5e cores have 128MB of VMEM and these kernels dominate their programs.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _merged_params(tile_samples: int) -> pltpu.CompilerParams:
+    """Scoped-VMEM limit for the MERGED single-tile kernel. The 1080i
+    merged program measured 110.7MB of scoped demand when the surrounding
+    XLA program's layout choices added operand copies (a B=2 standalone
+    fit under 100MB; a B=64 scan-wrapped build did not) — give big tiles
+    the headroom up to near the v5e core's 128MB; SD-class tiles keep the
+    shared 100MB limit."""
+    mb = 120 if tile_samples > 600_000 else 100
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
 
 
 # ----------------------------------------------------------- kernel helpers
@@ -214,30 +228,29 @@ def _hs_rotate(ywin, s_col, *, w: int, wp: int, fill: float):
     return jnp.where((s_pos != 0) & (xw < w), rot, ywin)
 
 
-def _head_switch_window(y, y_ref, scratch_ref, hs_ref, w0, *, w: int,
+def _head_switch_window(y, scratch_ref, hs_ref, w0, *, w: int,
                         wp: int, win: int, fill: float):
     """In-kernel VHS head switch: windowed per-row rotation mod twidth.
 
     Same permutation as yiq.head_switching_padded applied on the
-    VMEM-resident tile inside kernel B — the XLA stage between the kernel
-    halves cost 11.3 us/field at SD (round-5 stage ablation), dominated by
-    the kernel-boundary HBM round trips of the one-hot extract/realign.
-    Here only the <=win sublane-aligned rows move, entirely in VMEM: the
-    shift operand arrives pre-windowed ([B, win, 1], yiq.
-    head_switch_window_shifts), the window rows come from pl.load with a
-    dynamic sublane start (Mosaic has no value-level dynamic_slice), and
-    the realigned plane is assembled through a VMEM scratch (full-tile
-    copy + windowed pl.store). Small tiles (win == rows) skip the
-    window machinery entirely."""
+    VMEM-resident tile inside the fused kernel — the XLA stage between
+    the kernel halves cost 11.3 us/field at SD (round-5 stage ablation),
+    dominated by the kernel-boundary HBM round trips of the one-hot
+    extract/realign. Here only the <=win sublane-aligned rows move,
+    entirely in VMEM: the shift operand arrives pre-windowed ([B, win, 1],
+    yiq.head_switch_window_shifts), and the window rows slice dynamically
+    through a VMEM scratch ref (Mosaic has no value-level dynamic_slice:
+    full-tile copy in, windowed ref load/store, full-tile load out).
+    Small tiles (win == rows) skip the window machinery entirely."""
     s_col = hs_ref[0]                                       # [win, 1]
     if win >= y.shape[0]:
         return _hs_rotate(y, s_col, w=w, wp=wp, fill=fill)
     # w0 is built 8-aligned (head_switch_window_shifts); Mosaic needs the
     # divisibility hint to allow a dynamic sublane start
     w0 = pl.multiple_of(w0, 8)
-    ywin = y_ref[0, pl.ds(w0, win), :]
-    out = _hs_rotate(ywin, s_col, w=w, wp=wp, fill=fill)
     scratch_ref[...] = y
+    ywin = scratch_ref[pl.ds(w0, win), :]
+    out = _hs_rotate(ywin, s_col, w=w, wp=wp, fill=fill)
     scratch_ref[pl.ds(w0, win), :] = out
     return scratch_ref[...]
 
@@ -281,52 +294,58 @@ def _qam_decode(y, xi_col, amp_back: int, w: int, wp: int):
 
 # ------------------------------------------------------------------ kernels
 
-def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, tl: int):
+def _kernel_a_math(cfg: CompositeConfig, w: int, wp: int, tl: int,
+                   r, g, b, xi_col, nk_u, row0, cs):
+    """RGB->YIQ, in-chroma lowpass, QAM encode, preemphasis, luma noise —
+    kernel A's math on VMEM values, returning the encoded luma. Shared by
+    the standalone kernel A (tiled/sharded modes) and the merged
+    single-tile kernel (_make_kernel_ab)."""
     nb = wp // BLOCK
     amp = cfg.subcarrier_amplitude
-    do_pre = cfg.composite_preemphasis != 0 and cfg.composite_preemphasis_cut > 0
-    do_noise = cfg.video_noise != 0
+    do_pre = (cfg.composite_preemphasis != 0
+              and cfg.composite_preemphasis_cut > 0)
+    xw = _iota_w(wp)
+    active = xw < w
+    # RGB -> YIQ (x256 ints, trunc)
+    dy = 0.30 * r + 0.59 * g + 0.11 * b
+    y = _trunc(256.0 * dy)
+    i = _trunc(256.0 * ((-0.27 * (b - dy)) + (0.74 * (r - dy))))
+    q = _trunc(256.0 * ((0.41 * (b - dy)) + (0.48 * (r - dy))))
+    y = jnp.where(active, y, 0.0)
+    i = jnp.where(active, i, 0.0)
+    q = jnp.where(active, q, 0.0)
 
+    if cfg.composite_in_chroma_lowpass:
+        i = _lowpass_writeback(i, cs[0], 2, w, wp)
+        q = _lowpass_writeback(q, cs[1], 4, w, wp)
+
+    y = _qam_encode(y, i, q, xi_col, amp, wp)
+
+    if do_pre:
+        lp = _pole(y, cs[2], 16.0, nb)
+        y = _trunc(y + (y - lp) * cfg.composite_preemphasis)
+
+    if cfg.video_noise != 0:
+        # row0 is the global first-row index of this block (0 off-mesh):
+        # the noise streams are content-addressed by ABSOLUTE row, so
+        # line-sharded and plain dispatch generate identical walks
+        # (parallel/mesh.run_sharded_chain_fused_lines)
+        y = y + _walk_rows_kernel(nk_u, row0, cfg.video_noise,
+                                  0, w, wp, tl, cs[7])
+
+    return jnp.where(active, y, 0.0)
+
+
+def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, tl: int):
     def kernel(r_ref, g_ref, b_ref, xi_ref, nk_ref, row_ref, tt_ref, d_ref,
                tt3_ref, d3_ref, vt_ref, y_ref):
         cs = _TTBinder()
         cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
-        r = r_ref[0]
-        g = g_ref[0]
-        b = b_ref[0]
-        xw = _iota_w(wp)
-        active = xw < w
-        # RGB -> YIQ (x256 ints, trunc)
-        dy = 0.30 * r + 0.59 * g + 0.11 * b
-        y = _trunc(256.0 * dy)
-        i = _trunc(256.0 * ((-0.27 * (b - dy)) + (0.74 * (r - dy))))
-        q = _trunc(256.0 * ((0.41 * (b - dy)) + (0.48 * (r - dy))))
-        y = jnp.where(active, y, 0.0)
-        i = jnp.where(active, i, 0.0)
-        q = jnp.where(active, q, 0.0)
-
-        if cfg.composite_in_chroma_lowpass:
-            i = _lowpass_writeback(i, cs[0], 2, w, wp)
-            q = _lowpass_writeback(q, cs[1], 4, w, wp)
-
-        xi_col = xi_ref[0].astype(jnp.int32)
-        y = _qam_encode(y, i, q, xi_col, amp, wp)
-
-        if do_pre:
-            lp = _pole(y, cs[2], 16.0, nb)
-            y = _trunc(y + (y - lp) * cfg.composite_preemphasis)
-
-        if do_noise:
-            # row_ref carries the global first-row index of this shard's
-            # block (0 off-mesh): the noise streams are content-addressed
-            # by ABSOLUTE row, so line-sharded and plain dispatch generate
-            # identical walks (parallel/mesh.run_sharded_chain_fused_lines)
-            y = y + _walk_rows_kernel(
-                nk_ref[0, 0, 0].astype(jnp.uint32),
-                row_ref[0, 0] + pl.program_id(1) * tl, cfg.video_noise,
-                0, w, wp, tl, cs[7])
-
-        y_ref[0] = jnp.where(active, y, 0.0)
+        y_ref[0] = _kernel_a_math(
+            cfg, w, wp, tl, r_ref[0], g_ref[0], b_ref[0],
+            xi_ref[0].astype(jnp.int32),
+            nk_ref[0, 0, 0].astype(jnp.uint32),
+            row_ref[0, 0] + pl.program_id(1) * tl, cs)
 
     return kernel
 
@@ -443,59 +462,67 @@ class _TTBinder:
 
 
 
-def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int,
-                   hs_win: int | None = None):
-    """Single-tile kernel: full field resident, in-kernel vertical blend.
-    With hs_win set, head switching runs IN-KERNEL on the resident tile
-    (windowed rotation; see _head_switch_window) from two extra operands —
-    the pre-windowed shift column and the per-field aligned window start —
-    plus a VMEM scratch for the realigned plane when the window is a
-    proper subset of the tile."""
+def _make_kernel_ab(cfg: CompositeConfig, w: int, wp: int, l: int, tl: int,
+                    hs_win: int | None = None):
+    """MERGED single-tile kernel: kernel A + in-kernel head switch +
+    kernel B in ONE pallas program. The two-kernel split existed only for
+    the XLA head-switch stage between the halves; with the switch applied
+    in VMEM (_head_switch_window) the single-tile path needs no kernel
+    boundary at all — the encoded-luma plane never touches HBM and the
+    IIR constant tables load once instead of twice. Unsharded single-tile
+    only (the line-sharded and tiled paths keep the A/B split for their
+    cross-shard seam stages); bit-identical to the split dispatch."""
     windowed = hs_win is not None and hs_win < tl
 
-    def body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-             tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref, hs=None,
-             scratch_ref=None):
+    def body(r_ref, g_ref, b_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+             tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+             r_out, g_out, b_out, hs=None, scratch_ref=None):
         cs = _TTBinder()
         cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
-        y = y_ref[0]
+        xi_col = xi_ref[0].astype(jnp.int32)
+        row0 = pl.program_id(1) * tl
+        y = _kernel_a_math(cfg, w, wp, tl, r_ref[0], g_ref[0], b_ref[0],
+                           xi_col, nk_ref[0, 0, 0].astype(jnp.uint32),
+                           row0, cs)
         if hs is not None:
             hs_ref, w0_ref = hs
-            y = _head_switch_window(y, y_ref, scratch_ref, hs_ref,
+            y = _head_switch_window(y, scratch_ref, hs_ref,
                                     w0_ref[0, 0, 0], w=w, wp=wp,
                                     win=hs_win, fill=0.0)
-        xi_col = xi_ref[0].astype(jnp.int32)
         y, i, q = _kernel_b_front(cfg, w, wp, l, tl, y, xi_col,
                                   nk_ref[0, 0, 1].astype(jnp.uint32),
-                                  pl.program_id(1) * tl,
+                                  row0,
                                   sc_ref[0, :, 0:1], sc_ref[0, :, 1:2], cs)
         if cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc:
             i, q = _kernel_b_vblend(cfg, i, q)
         r, g, b = _kernel_b_back(cfg, w, wp, y, i, q, xi_col, drop_ref[0],
                                  cs)
-        r_ref[0] = r
-        g_ref[0] = g
-        b_ref[0] = b
+        r_out[0] = r
+        g_out[0] = g
+        b_out[0] = b
 
     if hs_win is None:
-        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-                   tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref):
-            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-                 tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref)
+        def kernel(r_ref, g_ref, b_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                   tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+                   r_out, g_out, b_out):
+            body(r_ref, g_ref, b_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                 tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+                 r_out, g_out, b_out)
     elif windowed:
-        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, hs_ref, w0_ref,
-                   tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
-                   r_ref, g_ref, b_ref, scratch_ref):
-            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-                 tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref,
-                 hs=(hs_ref, w0_ref), scratch_ref=scratch_ref)
+        def kernel(r_ref, g_ref, b_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                   hs_ref, w0_ref, tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+                   r_out, g_out, b_out, scratch_ref):
+            body(r_ref, g_ref, b_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                 tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+                 r_out, g_out, b_out, hs=(hs_ref, w0_ref),
+                 scratch_ref=scratch_ref)
     else:
-        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, hs_ref, w0_ref,
-                   tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
-                   r_ref, g_ref, b_ref):
-            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-                 tt3_ref, d3_ref, vt_ref, r_ref, g_ref, b_ref,
-                 hs=(hs_ref, w0_ref))
+        def kernel(r_ref, g_ref, b_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                   hs_ref, w0_ref, tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+                   r_out, g_out, b_out):
+            body(r_ref, g_ref, b_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                 tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+                 r_out, g_out, b_out, hs=(hs_ref, w0_ref))
 
     return kernel
 
@@ -763,16 +790,16 @@ def _head_switch_operands(ctx: _FusedCtx, field_parity, *, phase):
             w0a.reshape(ctx.b, 1, 1).astype(jnp.int32))
 
 
-def _fused_stage_b_single(ctx: _FusedCtx, y_enc, hs=None):
-    """Single-tile kernel B (whole field resident, vblend in-kernel;
-    hs = (shift column, window start) enables the in-kernel head
-    switch)."""
+def _fused_stage_ab(ctx: _FusedCtx, hs=None):
+    """Merged single-tile dispatch: RGB planes in, output RGB planes out,
+    one pallas program (see _make_kernel_ab)."""
     hs_win = _hs_window_rows(ctx.l) if hs is not None else None
-    kernel_b = _make_kernel_b(ctx.cfg, ctx.w, ctx.wp, ctx.noise_l, ctx.tl,
-                              hs_win=hs_win)
-    in_specs = [ctx.specs3(), ctx.spec_col, ctx.spec_nk, ctx.spec_sc,
-                ctx.spec_col]
-    operands = [y_enc, ctx.xi_col, ctx.keys_ab, ctx.sincos_p, ctx.keep_p]
+    kernel = _make_kernel_ab(ctx.cfg, ctx.w, ctx.wp, ctx.noise_l, ctx.tl,
+                             hs_win=hs_win)
+    in_specs = [ctx.specs3(), ctx.specs3(), ctx.specs3(), ctx.spec_col,
+                ctx.spec_nk, ctx.spec_sc, ctx.spec_col]
+    operands = [ctx.rf, ctx.gf, ctx.bf, ctx.xi_col, ctx.keys_ab,
+                ctx.sincos_p, ctx.keep_p]
     scratch = []
     if hs is not None:
         in_specs += list(_hs_specs(hs_win))
@@ -780,7 +807,7 @@ def _fused_stage_b_single(ctx: _FusedCtx, y_enc, hs=None):
         if hs_win < ctx.tl:
             scratch = [pltpu.VMEM((ctx.tl, ctx.wp), ctx.dtype)]
     return pl.pallas_call(
-        kernel_b,
+        kernel,
         out_shape=(jax.ShapeDtypeStruct((ctx.b, ctx.lp, ctx.wp),
                                         ctx.dtype),) * 3,
         grid=ctx.grid,
@@ -788,7 +815,7 @@ def _fused_stage_b_single(ctx: _FusedCtx, y_enc, hs=None):
         out_specs=(ctx.specs3(),) * 3,
         scratch_shapes=scratch,
         interpret=ctx.interpret,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_merged_params(ctx.tl * ctx.wp),
     )(*operands, *ctx.consts)
 
 
@@ -857,34 +884,35 @@ def composite_layer_rgb_fused(
                          row0=0, noise_l=l, interpret=interpret,
                          sharded=False)
 
-    y_enc = _fused_stage_a(ctx)
-
-    # head switching on the encoded luma. Single-tile: IN-KERNEL at the top
-    # of kernel B (windowed VMEM rotation fed by tiny per-row/per-field
-    # operands — the XLA hop between the halves cost 11.3 us/field at SD).
-    # Tiled mode keeps the XLA windowed in-place stage (only the <=64-line
-    # window moves through HBM; no full-plane crop/astype/re-pad).
-    hs = None
-    if cfg.vhs_head_switching:
-        if ctx.single_tile:
+    if ctx.single_tile:
+        # MERGED path: kernel A + in-kernel head switch (windowed VMEM
+        # rotation fed by tiny per-row/per-field operands — the XLA hop
+        # between the halves cost 11.3 us/field at SD) + kernel B as ONE
+        # pallas program; the encoded-luma plane never touches HBM.
+        hs = None
+        if cfg.vhs_head_switching:
             hs = _head_switch_operands(
                 ctx, field_parity, phase=cfg.vhs_head_switching_phase)
-        else:
-            y_enc = yiq.head_switching_padded(
-                y_enc, l, w, field_parity, ctx.keys[1],
-                point=cfg.vhs_head_switching_point,
-                phase=cfg.vhs_head_switching_phase,
-                phase_noise=cfg.vhs_head_switching_phase_noise,
-                ntsc=cfg.ntsc, fill=0.0)
+        r_o, g_o, b_o = _fused_stage_ab(ctx, hs=hs)
+        return _crop_stack_rgb(ctx, r_o, g_o, b_o)
+
+    # tiled mode (HD-class rasters over the budget): A/B split with the
+    # XLA windowed in-place head switch between the halves (only the
+    # <=64-line window moves through HBM; no full-plane crop/re-pad)
+    y_enc = _fused_stage_a(ctx)
+    if cfg.vhs_head_switching:
+        y_enc = yiq.head_switching_padded(
+            y_enc, l, w, field_parity, ctx.keys[1],
+            point=cfg.vhs_head_switching_point,
+            phase=cfg.vhs_head_switching_phase,
+            phase_noise=cfg.vhs_head_switching_phase_noise,
+            ntsc=cfg.ntsc, fill=0.0)
 
     do_vblend = cfg.emulating_vhs and cfg.vhs_chroma_vert_blend and cfg.ntsc
-    if ctx.single_tile:
-        r_o, g_o, b_o = _fused_stage_b_single(ctx, y_enc, hs=hs)
-    else:
-        y2, i2, q2 = _fused_stage_b1(ctx, y_enc)
-        if do_vblend:
-            i2 = _vblend_xla(i2, l, ctx.padl)
-            q2 = _vblend_xla(q2, l, ctx.padl)
-        r_o, g_o, b_o = _fused_stage_b2(ctx, y2, i2, q2)
+    y2, i2, q2 = _fused_stage_b1(ctx, y_enc)
+    if do_vblend:
+        i2 = _vblend_xla(i2, l, ctx.padl)
+        q2 = _vblend_xla(q2, l, ctx.padl)
+    r_o, g_o, b_o = _fused_stage_b2(ctx, y2, i2, q2)
 
     return _crop_stack_rgb(ctx, r_o, g_o, b_o)

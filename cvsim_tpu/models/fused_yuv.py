@@ -1,7 +1,9 @@
 """Whole-chain fused Pallas implementation of the gen-1 YUV 4:2:2 engine
 (ffmpeg_to_composite.cpp) — the sibling of models/fused_yiq.py.
 
-Same two-kernel split at the head switch. Gen-1 particulars handled here:
+Same kernel architecture: ONE merged pallas program for single-tile
+rasters (with the head switch applied in VMEM), the A/B split with the
+XLA head-switch stage for tiled ones. Gen-1 particulars handled here:
 - u8 quantization (clampu8) at every reference writeback point
 - chroma planes at half width, filtered at the 4:2:2 rate; the stride-2
   half<->full conversions run as 0/1 selection-matrix matmuls (Mosaic has
@@ -188,41 +190,43 @@ def _alpha_consts_gen1(cfg: CompositeConfig):
     return _stack_alpha_consts(alphas)
 
 
+def _a_math(cfg: CompositeConfig, w: int, wp: int, w2: int, wp2: int,
+            tl: int, y, u, v, xi_col, nk_u, cs, eu):
+    """Gen-1 kernel A math on VMEM values (in-chroma lowpass, QAM encode,
+    preemphasis, luma noise), returning the encoded luma. Shared by the
+    standalone kernel A (tiled mode) and the merged single-tile kernel."""
+    nb = wp // BLOCK
+
+    if cfg.composite_in_chroma_lowpass:
+        u_delay = 2
+        v_delay = 4 if cfg.ntsc else 2
+        u = _chroma_lowpass_full(u, cs[1], cs[0], u_delay, w2, wp2)
+        v = _chroma_lowpass_full(v, cs[3], cs[2], v_delay, w2, wp2)
+
+    y = _qam_encode_u8(y, u, v, xi_col, cfg.subcarrier_amplitude, eu, w, wp)
+
+    if cfg.composite_preemphasis != 0 and cfg.composite_preemphasis_cut > 0:
+        lp = _pole(y, cs[4], 16.0, nb)
+        y = _u8(y + (y - lp) * cfg.composite_preemphasis)
+
+    if cfg.video_noise != 0:
+        y = _u8(y + _walk_rows_kernel(
+            nk_u, pl.program_id(1) * tl, cfg.video_noise, 0, w, wp, tl,
+            cs[10]))
+
+    return jnp.where(_iota_w(wp) < w, y, 0.0)
+
+
 def _make_kernel_a(cfg: CompositeConfig, w: int, wp: int, w2: int,
                    wp2: int, tl: int):
-    nb = wp // BLOCK
-    do_pre = cfg.composite_preemphasis != 0 and cfg.composite_preemphasis_cut > 0
-    do_noise = cfg.video_noise != 0
-
     def kernel(y_ref, u_ref, v_ref, xi_ref, nk_ref, tt_ref, d_ref,
                tt3_ref, d3_ref, vt_ref, eu_ref, y_out):
         cs = _TTBinder()
         cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
-        y = y_ref[0]
-        u = u_ref[0]
-        v = v_ref[0]
-        xi_col = xi_ref[0].astype(jnp.int32)
-
-        if cfg.composite_in_chroma_lowpass:
-            u_delay = 2
-            v_delay = 4 if cfg.ntsc else 2
-            u = _chroma_lowpass_full(u, cs[1], cs[0], u_delay, w2, wp2)
-            v = _chroma_lowpass_full(v, cs[3], cs[2], v_delay, w2, wp2)
-
-        y = _qam_encode_u8(y, u, v, xi_col, cfg.subcarrier_amplitude,
-                           eu_ref[...], w, wp)
-
-        if do_pre:
-            lp = _pole(y, cs[4], 16.0, nb)
-            y = _u8(y + (y - lp) * cfg.composite_preemphasis)
-
-        if do_noise:
-            y = _u8(y + _walk_rows_kernel(
-                nk_ref[0, 0, 0].astype(jnp.uint32),
-                pl.program_id(1) * tl, cfg.video_noise, 0, w, wp, tl,
-                cs[10]))
-
-        y_out[0] = jnp.where(_iota_w(wp) < w, y, 0.0)
+        y_out[0] = _a_math(cfg, w, wp, w2, wp2, tl, y_ref[0], u_ref[0],
+                           v_ref[0], xi_ref[0].astype(jnp.int32),
+                           nk_ref[0, 0, 0].astype(jnp.uint32), cs,
+                           eu_ref[...])
 
     return kernel
 
@@ -336,25 +340,27 @@ def _b_back(cfg, w, wp, w2, wp2, y, u, v, xi_col, keep, cs,
     return y, u, v
 
 
-def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int,
-                   wp2: int, l: int, tl: int, hs_win: int | None = None):
-    """Single-tile kernel: full field resident, in-kernel vertical blend.
-    With hs_win set, head switching runs IN-KERNEL on the resident luma
-    (fused_yiq._head_switch_window; gen-1 pads are luma black, fill=16)."""
+def _make_kernel_ab(cfg: CompositeConfig, w: int, wp: int, w2: int,
+                    wp2: int, l: int, tl: int, hs_win: int | None = None):
+    """MERGED single-tile kernel: kernel A + in-kernel head switch +
+    kernel B in one pallas program (see fused_yiq._make_kernel_ab — the
+    encoded-luma plane never touches HBM, constants load once)."""
     windowed = hs_win is not None and hs_win < tl
 
-    def body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-             tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+    def body(y_ref, u_ref, v_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+             tt_ref, d_ref, tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
              y_out, u_out, v_out, hs=None, scratch_ref=None):
         cs = _TTBinder()
         cs.bind(tt_ref, d_ref, tt3_ref, d3_ref, vt_ref)
-        y = y_ref[0]
+        xi_col = xi_ref[0].astype(jnp.int32)
+        y = _a_math(cfg, w, wp, w2, wp2, tl, y_ref[0], u_ref[0], v_ref[0],
+                    xi_col, nk_ref[0, 0, 0].astype(jnp.uint32), cs,
+                    eu_ref[...])
         if hs is not None:
             hs_ref, w0_ref = hs
-            y = _head_switch_window(y, y_ref, scratch_ref, hs_ref,
+            y = _head_switch_window(y, scratch_ref, hs_ref,
                                     w0_ref[0, 0, 0], w=w, wp=wp,
                                     win=hs_win, fill=16.0)
-        xi_col = xi_ref[0].astype(jnp.int32)
         y, u, v = _b_front(cfg, w, wp, w2, wp2, l, tl, y, xi_col,
                            nk_ref[0, 0, 1].astype(jnp.uint32),
                            sc_ref[0, :, 0:1], sc_ref[0, :, 1:2],
@@ -368,26 +374,26 @@ def _make_kernel_b(cfg: CompositeConfig, w: int, wp: int, w2: int,
         v_out[0] = v
 
     if hs_win is None:
-        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-                   tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+        def kernel(y_ref, u_ref, v_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                   tt_ref, d_ref, tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
                    y_out, u_out, v_out):
-            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-                 tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+            body(y_ref, u_ref, v_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                 tt_ref, d_ref, tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
                  y_out, u_out, v_out)
     elif windowed:
-        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, hs_ref, w0_ref,
-                   tt_ref, d_ref, tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
-                   y_out, u_out, v_out, scratch_ref):
-            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-                 tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+        def kernel(y_ref, u_ref, v_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                   hs_ref, w0_ref, tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+                   ed_ref, eu_ref, y_out, u_out, v_out, scratch_ref):
+            body(y_ref, u_ref, v_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                 tt_ref, d_ref, tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
                  y_out, u_out, v_out, hs=(hs_ref, w0_ref),
                  scratch_ref=scratch_ref)
     else:
-        def kernel(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, hs_ref, w0_ref,
-                   tt_ref, d_ref, tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
-                   y_out, u_out, v_out):
-            body(y_ref, xi_ref, nk_ref, sc_ref, drop_ref, tt_ref, d_ref,
-                 tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
+        def kernel(y_ref, u_ref, v_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                   hs_ref, w0_ref, tt_ref, d_ref, tt3_ref, d3_ref, vt_ref,
+                   ed_ref, eu_ref, y_out, u_out, v_out):
+            body(y_ref, u_ref, v_ref, xi_ref, nk_ref, sc_ref, drop_ref,
+                 tt_ref, d_ref, tt3_ref, d3_ref, vt_ref, ed_ref, eu_ref,
                  y_out, u_out, v_out, hs=(hs_ref, w0_ref))
 
     return kernel
@@ -538,53 +544,33 @@ def composite_video_process_fused(
                            memory_space=pltpu.SMEM)
     grid = (b, n_lt)
 
-    kernel_a = _make_kernel_a(cfg, w, wp, w2, wp2, tl)
-    y_enc = pl.pallas_call(
-        kernel_a,
-        out_shape=jax.ShapeDtypeStruct((b, lp, wp), dtype),
-        grid=grid,
-        in_specs=[spec_full, spec_half, spec_half, spec_col, spec_nk,
-                  spec_tt, spec_d, spec_tt, spec_d3, spec_vt, spec_eu],
-        out_specs=spec_full,
-        interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
-    )(yf, uf, vf, xi_col, keys_ab, tts, ds, tt3s, d3s, vts, eu)
-
-    # head switching: IN-KERNEL for the single-tile path (windowed VMEM
-    # rotation at the top of kernel B — see fused_yiq._head_switch_window);
-    # tiled mode keeps the XLA windowed in-place stage. Gen-1 reuses the
-    # switch point for both raster axes (ffmpeg_to_composite.cpp:668-732)
-    # and pads with luma black.
-    hs = None
-    if cfg.vhs_head_switching:
-        if single_tile:
-            shifts, w0a = yiq_mod.head_switch_window_shifts(
-                l, field_parity, keys[1],
-                point=cfg.vhs_head_switching_point,
-                phase=cfg.vhs_head_switching_point,
-                phase_noise=cfg.vhs_head_switching_phase_noise,
-                twidth=w + w // 10, ntsc=cfg.ntsc,
-                win=_hs_window_rows(l))
-            hs = (shifts[..., None].astype(jnp.float32),
-                  w0a.reshape(b, 1, 1).astype(jnp.int32))
-        else:
-            y_enc = yiq_mod.head_switching_padded(
-                y_enc, l, w, field_parity, keys[1],
-                point=cfg.vhs_head_switching_point,
-                phase=cfg.vhs_head_switching_point,
-                phase_noise=cfg.vhs_head_switching_phase_noise,
-                ntsc=cfg.ntsc, fill=16.0)
-
     out_shapes = (jax.ShapeDtypeStruct((b, lp, wp), dtype),
                   jax.ShapeDtypeStruct((b, lp, wp2), dtype),
                   jax.ShapeDtypeStruct((b, lp, wp2), dtype))
     do_vblend = (cfg.emulating_vhs and cfg.vhs_chroma_vert_blend
                  and cfg.ntsc)
     if single_tile:
-        hs_win = _hs_window_rows(l) if hs is not None else None
-        kernel_b = _make_kernel_b(cfg, w, wp, w2, wp2, l, tl, hs_win=hs_win)
-        in_specs = [spec_full, spec_col, spec_nk, spec_sc, spec_col]
-        operands = [y_enc, xi_col, keys_ab, sincos_p, keep_p]
+        # MERGED path: kernel A + in-kernel head switch + kernel B as ONE
+        # pallas program (fused_yiq._make_kernel_ab rationale). Gen-1
+        # reuses the switch point for both raster axes
+        # (ffmpeg_to_composite.cpp:668-732) and pads with luma black.
+        hs = None
+        hs_win = None
+        if cfg.vhs_head_switching:
+            hs_win = _hs_window_rows(l)
+            shifts, w0a = yiq_mod.head_switch_window_shifts(
+                l, field_parity, keys[1],
+                point=cfg.vhs_head_switching_point,
+                phase=cfg.vhs_head_switching_point,
+                phase_noise=cfg.vhs_head_switching_phase_noise,
+                twidth=w + w // 10, ntsc=cfg.ntsc, win=hs_win)
+            hs = (shifts[..., None].astype(jnp.float32),
+                  w0a.reshape(b, 1, 1).astype(jnp.int32))
+        kernel_ab = _make_kernel_ab(cfg, w, wp, w2, wp2, l, tl,
+                                    hs_win=hs_win)
+        in_specs = [spec_full, spec_half, spec_half, spec_col, spec_nk,
+                    spec_sc, spec_col]
+        operands = [yf, uf, vf, xi_col, keys_ab, sincos_p, keep_p]
         scratch = []
         if hs is not None:
             in_specs += list(_hs_specs(hs_win))
@@ -592,7 +578,7 @@ def composite_video_process_fused(
             if hs_win < tl:
                 scratch = [pltpu.VMEM((tl, wp), dtype)]
         y_o, u_o, v_o = pl.pallas_call(
-            kernel_b,
+            kernel_ab,
             out_shape=out_shapes,
             grid=grid,
             in_specs=in_specs + [spec_tt, spec_d, spec_tt, spec_d3,
@@ -603,6 +589,26 @@ def composite_video_process_fused(
             compiler_params=_COMPILER_PARAMS,
         )(*operands, tts, ds, tt3s, d3s, vts, ed, eu)
     else:
+        kernel_a = _make_kernel_a(cfg, w, wp, w2, wp2, tl)
+        y_enc = pl.pallas_call(
+            kernel_a,
+            out_shape=jax.ShapeDtypeStruct((b, lp, wp), dtype),
+            grid=grid,
+            in_specs=[spec_full, spec_half, spec_half, spec_col, spec_nk,
+                      spec_tt, spec_d, spec_tt, spec_d3, spec_vt, spec_eu],
+            out_specs=spec_full,
+            interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(yf, uf, vf, xi_col, keys_ab, tts, ds, tt3s, d3s, vts, eu)
+        if cfg.vhs_head_switching:
+            # tiled mode: XLA windowed in-place head switch between the
+            # kernel halves
+            y_enc = yiq_mod.head_switching_padded(
+                y_enc, l, w, field_parity, keys[1],
+                point=cfg.vhs_head_switching_point,
+                phase=cfg.vhs_head_switching_point,
+                phase_noise=cfg.vhs_head_switching_phase_noise,
+                ntsc=cfg.ntsc, fill=16.0)
         kernel_b1 = _make_kernel_b1(cfg, w, wp, w2, wp2, l, tl)
         y2, u2, v2 = pl.pallas_call(
             kernel_b1,
