@@ -220,9 +220,16 @@ def _hs_rotate(ywin, s_col, *, w: int, wp: int, fill: float):
     xw = _iota_w(wp)
     t1 = ywin
     for bnum in range((twidth - 1).bit_length()):
+        # the rolls are mod-wp cyclic by construction, so reduce each
+        # shift mod wp and drop identity rolls — at wp <= 2^bnum a full
+        # -wp roll otherwise lowers to a zero-size Mosaic slice (caught
+        # by the w=128 line-sharded hardware test)
+        sh = (1 << bnum) % wp
+        if sh == 0:
+            continue
         bit = ((s_pos >> bnum) & 1) == 1
-        t1 = jnp.where(bit, jnp.roll(t1, -(1 << bnum), axis=-1), t1)
-    t2 = jnp.roll(t1, twidth % wp, axis=-1)
+        t1 = jnp.where(bit, jnp.roll(t1, -sh, axis=-1), t1)
+    t2 = jnp.roll(t1, twidth % wp, axis=-1) if twidth % wp else t1
     rot = jnp.where(xw + s_pos < w, t1,
                     jnp.where(xw >= twidth - s_pos, t2, fill))
     return jnp.where((s_pos != 0) & (xw < w), rot, ywin)
