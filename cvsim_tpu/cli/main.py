@@ -428,6 +428,24 @@ def _cmd_vaporwave(argv):
 COMMANDS["vaporwave"] = _cmd_vaporwave
 
 
+def _cmd_repo_update_all(argv):
+    """git-update-all[-wo-push]: commit the whole tree, push + fetch."""
+    from cvsim_tpu.utils import repo_maint
+
+    return repo_maint.main_update_all(argv)
+
+
+def _cmd_repo_source_pickup(argv):
+    """git-source-pickup.pl: dated commit-stamped source .tar.xz."""
+    from cvsim_tpu.utils import repo_maint
+
+    return repo_maint.main_source_pickup(argv)
+
+
+COMMANDS["repo-update-all"] = _cmd_repo_update_all
+COMMANDS["repo-source-pickup"] = _cmd_repo_source_pickup
+
+
 def cmd_serve(argv):
     """Daemon mode (cli/serve.py): resident process amortizing the
     per-process device-program load across tool invocations."""
